@@ -1,0 +1,162 @@
+"""RFC 5322 addr-spec + RFC 6532 (Unicode) grammar, as anchored regular expressions.
+
+This is the *decision kernel* of the engine: a pure-Python, dependency-free module
+(importable on Spark executors) that reproduces the reference parser's grammar,
+including its deliberate deviations from pure RFC 5322.
+
+Provenance (see SURVEY.md §2B/§2C for the full production-by-production map):
+  - grammar productions:   /root/reference/rust-lib/src/nom_parser.rs:12-637
+  - regex formulation:     /root/reference/npm-packages/regex/src/index.ts:1-57
+    (the reference itself proves a regex formulation of this exact grammar is
+    corpus-equivalent to the recursive-descent parser)
+  - character classes:     nom_parser.rs:582-637
+
+Reference-specific deviations from RFC 5322 that are load-bearing here:
+  1. dot-atom labels may not start or end with '-' (nom_parser.rs:121-138); this
+     applies per dot-separated label, in both local part and domain.
+  2. strict dot-atom tolerates at most ONE WSP char on each side, not full CFWS
+     (nom_parser.rs:97-102).
+  3. obs (lax) local part allows leading FWS and CFWS around dots
+     (nom_parser.rs:147-168).
+  4. obs (lax) domain labels are joined by '.' OR runs of '-', with CFWS between
+     labels and trailing FWS (nom_parser.rs:221-257).
+  5. quoted-pair accepts any ASCII octet after '\\' (incl. NUL/CR/LF), but never
+     a non-ASCII code point (nom_parser.rs:598-603).
+  6. comments nest; corpus nesting depth is <= 2, and the regex bounds nesting at
+     one inner level (index.ts:20), which is corpus-equivalent.
+  7. no length limits, no IP/DNS validation: grammar only.
+
+Everything is code-point based: Python `str` + `re` operate on code points, which
+matches the Rust parser's UTF-8 stepping (nom_parser.rs:548-552) and the JS 'u'
+flag semantics.
+"""
+
+from __future__ import annotations
+
+import re
+
+# --- terminals (character classes) — nom_parser.rs:582-637 ---------------------
+
+WSP = r"[ \t]"
+# 0x01-0x08, 0x0B, 0x0C, 0x0E-0x1F, 0x7F (obs-NO-WS-CTL, RFC 5322 §4.1)
+OBS_NO_WS_CTL = "[\\x01-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F]"
+# RFC 6532: any code point >= U+0080 (Python re lacks \P{ASCII}; this is equivalent
+# because Python strings are sequences of code points, not bytes)
+NON_ASCII = "[^\\x00-\\x7F]"
+
+_ATEXT_ASCII = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~-]"
+_ATEXT_ASCII_NO_DASH = r"[A-Za-z0-9!#$%&'*+/=?^_`{|}~]"
+
+ATEXT = f"(?:{_ATEXT_ASCII}|{NON_ASCII})"
+ATEXT_NO_DASH = f"(?:{_ATEXT_ASCII_NO_DASH}|{NON_ASCII})"
+
+# printable US-ASCII minus the chars each class excludes (nom_parser.rs:605-623)
+QTEXT = f"(?:[\\x21\\x23-\\x5B\\x5D-\\x7E]|{NON_ASCII}|{OBS_NO_WS_CTL})"   # not " \
+DTEXT = f"(?:[\\x21-\\x5A\\x5E-\\x7E]|{NON_ASCII}|{OBS_NO_WS_CTL})"        # not [ ] \
+CTEXT = f"(?:[\\x21-\\x27\\x2A-\\x5B\\x5D-\\x7E]|{NON_ASCII}|{OBS_NO_WS_CTL})"  # not ( ) \
+
+# quoted-pair: '\' + any ASCII octet (incl. NUL, CR, LF, controls); non-ASCII after
+# '\' is rejected (nom_parser.rs:598-603 is ASCII-only)
+QUOTED_PAIR = "\\\\[\\x00-\\x7F]"
+
+# --- folding whitespace & comments — nom_parser.rs:383-494 ----------------------
+#
+# The canonical grammar is fws = (WSP+ | WSP* CRLF WSP+)(CRLF WSP+)*: a CRLF must
+# be followed by >=1 WSP, bare CR or LF is never whitespace (nom_parser.rs:471-494).
+# Written that way (as the regex twin does, index.ts:19), `(?:FWS)*` is a nested
+# ambiguous quantifier and exhibits CATASTROPHIC backtracking on adversarial
+# candidates (e.g. '<60 spaces>@<60 spaces>' never terminates) — unacceptable for
+# an engine fed untrusted 100 TB text. The FWS *language* is exactly
+#   { nonempty mixes of WSP and CRLF where every CRLF is immediately followed by
+#     WSP and the string ends in WSP }
+# which is closed under concatenation (so FWS+ == FWS and FWS* == FWS?), and has
+# a deterministic single-token-lookahead form. We use that form everywhere: same
+# accepted language, linear-time matching.
+
+_FWS_TAIL = r"(?:[ \t]|\r\n[ \t])*"          # deterministic: branch chosen by next char
+FWS = r"(?:\r\n)?[ \t]" + _FWS_TAIL          # ≡ canonical FWS, unambiguous
+FWS_OPT = f"(?:{FWS})?"                      # ≡ (?:FWS)? ≡ (?:FWS)*
+FWS_STAR = FWS_OPT
+
+# comment, with exactly one inner nesting level (corpus max depth is 2:
+# isemail_tests.xml case '(comment(comment))test@iana.org'); the regex twin bounds
+# nesting the same way (index.ts:20)
+_CCONTENT_FLAT = f"(?:{CTEXT}|{QUOTED_PAIR})"
+COMMENT = (
+    f"\\((?:{FWS_OPT}(?:{_CCONTENT_FLAT}|\\((?:{_CCONTENT_FLAT})*\\)))*{FWS_OPT}\\)"
+)
+# cfws = ((FWS? comment)+ FWS?) | FWS (nom_parser.rs:383-388). As a language this
+# is any nonempty sequence of whitespace-runs and comments; CFWS_STAR below is its
+# reflexive closure in deterministic form (comments start '(', FWS starts WSP/CR).
+CFWS = f"(?:{FWS}|(?:(?:{FWS_OPT}{COMMENT})+{FWS_OPT}))"
+CFWS_STAR = f"{FWS_OPT}(?:{COMMENT}{FWS_OPT})*"   # ≡ (?:CFWS)* ≡ (?:CFWS)?
+
+# --- dot-atom (strict) — nom_parser.rs:91-138 -----------------------------------
+
+# label: no leading or trailing '-' (project-specific deviation)
+DOT_ATOM_LABEL = f"{ATEXT_NO_DASH}(?:{ATEXT}*{ATEXT_NO_DASH})?"
+DOT_ATOM_TEXT = f"{DOT_ATOM_LABEL}(?:\\.{DOT_ATOM_LABEL})*"
+# at most one WSP char on each side (nom_parser.rs:97-102)
+DOT_ATOM = f"{WSP}?{DOT_ATOM_TEXT}{WSP}?"
+
+# --- quoted string — nom_parser.rs:274-320 --------------------------------------
+
+QCONTENT = f"(?:{QTEXT}|{QUOTED_PAIR})"
+_QUOTED_STRING_CORE = f'"(?:{FWS_OPT}{QCONTENT})*{FWS_OPT}"'
+QUOTED_STRING = f"{CFWS_STAR}{_QUOTED_STRING_CORE}{CFWS_STAR}"
+
+# --- domain literal — nom_parser.rs:334-374 -------------------------------------
+# NOTE: the Rust parser's dtext loop does NOT accept quoted-pair inside brackets,
+# while the regex twin does; the 3 corpus cases exercising '\' inside a domain
+# literal are ignored by both test suites (build.rs:214-218), so either choice is
+# corpus-equivalent. We keep the regex-twin form (quoted-pair allowed).
+
+DCONTENT = f"(?:{DTEXT}|{QUOTED_PAIR})"
+_DOMAIN_LITERAL_CORE = f"\\[(?:{FWS_OPT}{DCONTENT})*{FWS_OPT}\\]"
+DOMAIN_LITERAL = f"{CFWS_STAR}{_DOMAIN_LITERAL_CORE}{CFWS_STAR}"
+
+# --- strict addr-spec — nom_parser.rs:55-78 -------------------------------------
+
+LOCAL_PART_STRICT = f"(?:{DOT_ATOM}|{QUOTED_STRING})"
+DOMAIN_STRICT = f"(?:{DOT_ATOM}|{DOMAIN_LITERAL})"
+
+# --- obsolete (lax) addr-spec — nom_parser.rs:63-68,141-271 ---------------------
+
+ATOM = f"{CFWS_STAR}{ATEXT}+{CFWS_STAR}"
+WORD = f"(?:{ATOM}|{QUOTED_STRING})"
+# leading FWS* and CFWS around dots (deviation from RFC obs-local-part)
+LOCAL_PART_OBS = f"{FWS_STAR}{WORD}(?:{CFWS_STAR}\\.{CFWS_STAR}{WORD})*"
+
+_OBS_DOMAIN_LABEL = f"{ATEXT_NO_DASH}+"
+DOMAIN_OBS = (
+    "(?:"
+    f"{CFWS_STAR}{_OBS_DOMAIN_LABEL}"
+    f"(?:{CFWS_STAR}(?:\\.|-+){CFWS_STAR}{_OBS_DOMAIN_LABEL})*{FWS_STAR}"
+    f"|{DOMAIN_LITERAL}"
+    ")"
+)
+
+# --- anchored full patterns (all_consuming ≙ re.fullmatch) ----------------------
+
+EMAIL_STRICT_PATTERN = f"(?P<local>{LOCAL_PART_STRICT})@(?P<domain>{DOMAIN_STRICT})"
+EMAIL_LAX_PATTERN = f"(?P<local>{LOCAL_PART_OBS})@(?P<domain>{DOMAIN_OBS})"
+
+# Compiled once per interpreter (≙ once per Spark Python worker), amortized over
+# Arrow batches — mirrors the reference's precompile-once strategy (index.ts:52-53).
+EMAIL_STRICT_RE = re.compile(EMAIL_STRICT_PATTERN)
+EMAIL_LAX_RE = re.compile(EMAIL_LAX_PATTERN)
+LOCAL_PART_STRICT_RE = re.compile(LOCAL_PART_STRICT)
+LOCAL_PART_LAX_RE = re.compile(LOCAL_PART_OBS)
+DOMAIN_STRICT_RE = re.compile(DOMAIN_STRICT)
+DOMAIN_LAX_RE = re.compile(DOMAIN_OBS)
+
+
+def duckdb_email_regex(lax: bool = False) -> str:
+    """The same anchored grammar as an RE2-compatible pattern for DuckDB oracles.
+
+    RE2 (DuckDB's engine) does not support named groups with Python syntax nor
+    needs them; anchors are added because DuckDB's regexp_matches is unanchored.
+    """
+    pat = EMAIL_LAX_PATTERN if lax else EMAIL_STRICT_PATTERN
+    pat = pat.replace("(?P<local>", "(").replace("(?P<domain>", "(")
+    return f"^{pat}$"
