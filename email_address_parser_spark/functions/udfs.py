@@ -1,0 +1,137 @@
+"""Vectorized (Arrow/pandas) UDFs — the engine's only Python-side hot path.
+
+Design rules (SURVEY.md §2F F17, north_star "no per-row Python"):
+  * scalar pandas UDFs only; regexes compiled once per Python worker at module
+    import (the reference's precompile-once strategy, index.ts:52-53);
+  * strict-first execution: the strict pattern runs vectorized over the whole
+    batch, the lax pattern only over the strict misses (mirrors
+    nom_parser.rs:12-22 where the strict attempt always runs first);
+  * everything stays in pandas .str (C-level loops over Arrow-backed blocks).
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import (
+    ArrayType,
+    BooleanType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..kernel.grammar import EMAIL_LAX_PATTERN, EMAIL_STRICT_PATTERN
+
+# \A/\Z anchors (NOT ^/$: '$' would accept a trailing newline, which the
+# all_consuming parser rejects)
+_STRICT_ANCHORED = re.compile(rf"\A{EMAIL_STRICT_PATTERN}\Z")
+_LAX_ANCHORED = re.compile(rf"\A{EMAIL_LAX_PATTERN}\Z")
+
+# Candidate pre-scan: a candidate is either an <angle-bracketed> span (the only
+# way an address containing spaces/folds/comments survives tokenization) or a
+# whitespace-delimited token containing '@'. Length-capped to bound regex cost
+# on garbage (RFC 5322 line limit is 998; no VALID corpus address exceeds it).
+MAX_CANDIDATE_LEN = 998
+_ANGLE_RE = re.compile(r"<([^<>]{1,998})>")
+_TOKEN_RE = re.compile(r"[^\s<>]{1,998}")
+
+PARSE_RESULT_SCHEMA = StructType(
+    [
+        StructField("local_part", StringType()),
+        StructField("domain", StringType()),
+        StructField("valid_strict", BooleanType()),
+        StructField("valid_lax", BooleanType()),
+    ]
+)
+
+
+def parse_batch(values: pd.Series) -> pd.DataFrame:
+    """Strict-first anchored parse of a batch of candidate strings.
+
+    Returns columns (local_part, domain, valid_strict, valid_lax); the capture
+    columns are the VERBATIM grammar slices (SURVEY.md §1.4) and are null when
+    both grammars reject.
+    """
+    values = values.astype("string")
+    strict = values.str.extract(_STRICT_ANCHORED)
+    valid_strict = strict["local"].notna()
+    valid_lax = valid_strict.copy()
+
+    misses = ~valid_strict & values.notna()
+    local = strict["local"]
+    domain = strict["domain"]
+    if misses.any():
+        lax = values[misses].str.extract(_LAX_ANCHORED)
+        lax_hit = lax["local"].notna()
+        valid_lax.loc[misses] = lax_hit
+        local = local.copy()
+        domain = domain.copy()
+        local.loc[misses] = lax["local"]
+        domain.loc[misses] = lax["domain"]
+
+    return pd.DataFrame(
+        {
+            "local_part": local,
+            "domain": domain,
+            "valid_strict": valid_strict.fillna(False),
+            "valid_lax": valid_lax.fillna(False),
+        }
+    )
+
+
+@pandas_udf(PARSE_RESULT_SCHEMA)
+def parse_email_udf(values: pd.Series) -> pd.DataFrame:
+    return parse_batch(values)
+
+
+@pandas_udf(BooleanType())
+def is_valid_strict_udf(values: pd.Series) -> pd.Series:
+    return values.astype("string").str.fullmatch(_STRICT_ANCHORED).fillna(False).astype(bool)
+
+
+@pandas_udf(BooleanType())
+def is_valid_lax_udf(values: pd.Series) -> pd.Series:
+    v = values.astype("string")
+    ok = v.str.fullmatch(_STRICT_ANCHORED)
+    misses = ~ok.fillna(False) & v.notna()
+    if misses.any():
+        ok.loc[misses] = v[misses].str.fullmatch(_LAX_ANCHORED)
+    return ok.fillna(False).astype(bool)
+
+
+def extract_candidates(text: str) -> list:
+    """Candidate mention substrings of one turn's text, in reading order.
+
+    Two channels (extraction contract, see operators/extract.py):
+      1. <angle-bracketed> spans — complex addresses (quoted strings, CFWS,
+         folds) are only recoverable when delimited;
+      2. whitespace tokens containing '@' (angle spans excluded from this pass).
+    The anchored validator decides validity downstream; this stage only finds
+    plausible boundaries (first-byte gating analog, nom_parser.rs:510).
+    """
+    if not text or "@" not in text and "<" not in text:
+        return []
+    out = []
+    spans = []
+    for m in _ANGLE_RE.finditer(text):
+        if "@" in m.group(1):
+            out.append((m.start(), m.group(1)))
+            spans.append((m.start(), m.end()))
+    for m in _TOKEN_RE.finditer(text):
+        if "@" not in m.group(0):
+            continue
+        inside = any(s <= m.start() < e for s, e in spans)
+        if not inside:
+            out.append((m.start(), m.group(0)))
+    out.sort(key=lambda t: t[0])
+    return [c for _, c in out]
+
+
+@pandas_udf(ArrayType(StringType()))
+def extract_candidates_udf(texts: pd.Series) -> pd.Series:
+    # .map with a compiled-regex closure: the per-call work is regex finditer
+    # (C); there is no cheaper vectorized formulation of span arithmetic.
+    return texts.map(lambda t: extract_candidates(t) if isinstance(t, str) else [])
