@@ -1,0 +1,183 @@
+"""F6/F7/F8 — blocking and candidate-pair generation.
+
+Two candidate channels, unioned and de-duplicated:
+
+  1. exact-domain blocking, salted for hot-domain skew (F6). The salt hashes
+     the DOTLESS canonical local part, so every variant of one identity lands
+     in the same salt bucket (dot/quote/case/CFWS variants share the dotless
+     local) — the split is recall-preserving for true matches while breaking
+     a gmail.com-sized block into bounded pieces. Hot domains are detected
+     from data (block size > threshold) and broadcast back (small dim).
+  2. MinHash-LSH over character 3-gram shingles of the canonical local part
+     (F7): banded signatures, bucket-join. Catches near-duplicate locals
+     (typos) so the pairwise scorer sees genuinely hard negatives/positives
+     rather than only exact-key collisions. Hand-rolled (deterministic seeds)
+     instead of pyspark.ml's MinHashLSH to stay Arrow/DataFrame-native.
+
+Pair generation (F8) is a self-join on the block key with an ordered-pair
+predicate (a < b) so each unordered pair appears exactly once.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+# --- minhash parameters (fixed seeds — determinism is a hard requirement) ------
+
+N_HASHES = 32
+N_BANDS = 8
+ROWS_PER_BAND = N_HASHES // N_BANDS
+_MERSENNE = (1 << 61) - 1
+_rng = np.random.RandomState(0xE5EED)
+_A = _rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_B = _rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_SHINGLE = 3
+
+
+def _shingle_hashes(s: str) -> np.ndarray:
+    """Stable 64-bit-ish hashes of the char 3-grams of s (FNV-1a, not Python
+    hash() which is salted per process)."""
+    if len(s) < _SHINGLE:
+        grams = [s]
+    else:
+        grams = [s[i : i + _SHINGLE] for i in range(len(s) - _SHINGLE + 1)]
+    out = np.empty(len(grams), dtype=np.int64)
+    for i, g in enumerate(grams):
+        h = np.int64(-3750763034362895579)  # FNV-1a 64 offset basis (as signed)
+        for b in g.encode("utf-8"):
+            h = np.int64((int(h) ^ b) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
+        out[i] = h
+    return out
+
+
+def minhash_signature(s: str) -> list:
+    """k min-hash values of s's shingle set under k affine permutations."""
+    sh = _shingle_hashes(s if s else "")
+    # (k, n_shingles) affine transform mod Mersenne prime, vectorized in numpy
+    vals = (_A[:, None] * (sh[None, :] % _MERSENNE) + _B[:, None]) % _MERSENNE
+    return vals.min(axis=1).astype(np.int64).tolist()
+
+
+@pandas_udf(ArrayType(LongType()))
+def minhash_bands_udf(locals_: pd.Series) -> pd.Series:
+    """Per string: N_BANDS band signatures (each a hash of ROWS_PER_BAND
+    consecutive minhash values) — the LSH bucket keys."""
+
+    def bands(s):
+        if not isinstance(s, str):
+            s = ""
+        sig = minhash_signature(s)
+        out = []
+        for b in range(N_BANDS):
+            h = np.int64(1469598103934665603)
+            for v in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]:
+                h = np.int64((int(h) ^ int(v)) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
+            out.append(int(h))
+        return out
+
+    return locals_.map(bands)
+
+
+# --- exact-domain salted blocking ----------------------------------------------
+
+
+def with_salted_domain_block(
+    mentions: DataFrame,
+    hot_threshold: int = 10_000,
+    target_block_size: int = 5_000,
+) -> DataFrame:
+    """Add `block_key`: domain_canon, salted when the domain block exceeds
+    hot_threshold rows. Salt = hash(dotless local) % n_salts, so variants of
+    one identity always share a bucket. The hot-domain dim is tiny (only
+    domains above threshold) and is broadcast."""
+    dotless = F.regexp_replace(F.col("local_canon"), r"\.", "")
+    sizes = (
+        mentions.groupBy("domain_canon")
+        .agg(F.count(F.lit(1)).alias("_dom_n"))
+        .where(F.col("_dom_n") > hot_threshold)
+        .withColumn(
+            "_n_salts",
+            F.ceil(F.col("_dom_n") / F.lit(target_block_size)).cast("int"),
+        )
+        .select("domain_canon", "_n_salts")
+    )
+    joined = mentions.join(F.broadcast(sizes), "domain_canon", "left")
+    return joined.withColumn(
+        "block_key",
+        F.when(
+            F.col("_n_salts").isNotNull(),
+            F.concat(
+                F.col("domain_canon"),
+                F.lit("#"),
+                F.pmod(F.xxhash64(dotless), F.col("_n_salts")).cast("string"),
+            ),
+        ).otherwise(F.col("domain_canon")),
+    ).drop("_n_salts")
+
+
+# --- candidate pairs -------------------------------------------------------------
+
+
+def _unique_mentions(mentions: DataFrame) -> DataFrame:
+    """Entity resolution operates on distinct valid mention strings, not
+    occurrences: dedupe first so pair generation is quadratic in DISTINCT
+    emails per block, not in raw mention count."""
+    return (
+        mentions.where(F.col("valid_lax"))
+        .select("email", "local_canon", "domain_canon")
+        .dropDuplicates(["email"])
+    )
+
+
+def candidate_pairs(
+    mentions: DataFrame,
+    hot_threshold: int = 10_000,
+    target_block_size: int = 5_000,
+    use_lsh: bool = True,
+) -> DataFrame:
+    """→ (email_a, email_b, local_canon_a/b, domain_canon_a/b), each unordered
+    pair once. Union of the exact-domain-salted channel and the LSH channel."""
+    uniq = _unique_mentions(mentions)
+    blocked = with_salted_domain_block(uniq, hot_threshold, target_block_size)
+
+    def self_join(df: DataFrame, key: list) -> DataFrame:
+        a = df.alias("a")
+        b = df.alias("b")
+        return (
+            a.join(b, on=key)
+            .where(F.col("a.email") < F.col("b.email"))
+            .select(
+                F.col("a.email").alias("email_a"),
+                F.col("b.email").alias("email_b"),
+                F.col("a.local_canon").alias("local_canon_a"),
+                F.col("b.local_canon").alias("local_canon_b"),
+                F.col("a.domain_canon").alias("domain_canon_a"),
+                F.col("b.domain_canon").alias("domain_canon_b"),
+            )
+        )
+
+    pairs = self_join(blocked.select("block_key", "email", "local_canon", "domain_canon"), ["block_key"])
+
+    if use_lsh:
+        with_bands = uniq.select(
+            "email",
+            "local_canon",
+            "domain_canon",
+            F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
+                "band_idx", "band_sig"
+            ),
+        )
+        # LSH pairs only gate the scorer; restrict to same canonical domain so
+        # the channel adds hard same-domain candidates without exploding into
+        # cross-domain noise (identity variants never change the domain).
+        lsh_pairs = self_join(with_bands, ["band_idx", "band_sig", "domain_canon"]).drop(
+            "domain_canon_b"
+        ).withColumn("domain_canon_b", F.col("domain_canon_a"))
+        pairs = pairs.unionByName(lsh_pairs)
+
+    return pairs.dropDuplicates(["email_a", "email_b"])

@@ -1,0 +1,99 @@
+"""F11 — transitive clustering: connected components via large-star/small-star.
+
+The alternating star algorithm (Kiveris et al., "Connected Components in
+MapReduce and Beyond", SoCC'14) expressed as DataFrame self-joins/aggregations:
+
+  large-star(u): m = min(N(u) ∪ {u});  ∀v ∈ N(u), v > u:  emit (v, m)
+  small-star(u): over N≤(u) = {v ∈ N(u): v < u}: m = min(N≤(u) ∪ {u});
+                 emit (v, m) ∀v ∈ N≤(u) ∪ {u}, v ≠ m
+
+Alternating the two converges to a forest of depth-1 stars rooted at each
+component's minimum node in O(log n) rounds — the component id is therefore
+deterministically min(email), matching clusters_golden (FIXTURES.md §4).
+
+Scale notes:
+  * every round is one shuffle (groupBy node) + one broadcast-free join;
+  * lineage is cut per round with localCheckpoint — without it the plan
+    doubles each iteration and Catalyst analysis time explodes;
+  * convergence is detected by an order-insensitive (count, hash-sum)
+    signature of the edge set — one cheap aggregate instead of exceptAll;
+  * an explicit max_iterations guard mirrors the reference's recursion guard
+    discipline (MAX_RECURSION_DEPTH, nom_parser.rs:9).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _signature(edges: DataFrame) -> Tuple[int, int]:
+    # bit_xor: order-insensitive and overflow-free under ANSI mode (edge set is
+    # distinct, so xor-cancellation of duplicates cannot occur)
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(F.min("v").alias("_min_nbr"))
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(
+            F.col("v").alias("u"),
+            F.least(F.col("_min_nbr"), F.col("u")).alias("v"),
+        )
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient every edge large→small: (u, v) with v < u
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = oriented.groupBy("u").agg(F.min("v").alias("_m"))
+    relink = (
+        oriented.join(mins, "u")
+        .select(F.col("v").alias("u"), F.col("_m").alias("v"))
+    )
+    self_edge = mins.select(F.col("u"), F.col("_m").alias("v"))
+    return relink.union(self_edge).where(F.col("u") != F.col("v")).distinct()
+
+
+def connected_components(
+    edges: DataFrame, max_iterations: int = 25
+) -> DataFrame:
+    """edges(src, dst) → assignments(email, cluster_id = min node of component).
+
+    Nodes with no surviving edge are the caller's responsibility (a mention
+    that matched nothing is its own cluster — see pipeline.cluster_mentions).
+    """
+    cur = (
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev_sig = None
+    for _ in range(max_iterations):
+        cur = _small_star(_large_star(cur)).localCheckpoint()
+        sig = _signature(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} iterations"
+        )
+
+    # converged: every edge is (node, root); roots map to themselves
+    assignments = cur.select(F.col("u").alias("email"), F.col("v").alias("cluster_id"))
+    roots = cur.select(F.col("v").alias("email"), F.col("v").alias("cluster_id")).distinct()
+    return assignments.union(roots).distinct()
