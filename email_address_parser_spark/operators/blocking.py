@@ -139,6 +139,7 @@ def candidate_pairs(
     hot_threshold: int = 10_000,
     target_block_size: int = 5_000,
     use_lsh: bool = True,
+    lsh_max_bucket: int = 50,
 ) -> DataFrame:
     """→ (email_a, email_b, local_canon_a/b, domain_canon_a/b), each unordered
     pair once. Union of the exact-domain-salted channel and the LSH channel."""
@@ -172,12 +173,23 @@ def candidate_pairs(
                 "band_idx", "band_sig"
             ),
         )
+        # Frequent-bucket pruning: a bucket holding more than lsh_max_bucket
+        # emails is non-discriminative (e.g. a corpus whose locals share a long
+        # prefix makes most pairs band-collide) and would regenerate the full
+        # quadratic pair set; true near-duplicate groups are small. Standard
+        # LSH-at-scale practice; the exact-domain channel keeps full recall on
+        # the blocking key regardless.
+        bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        bounded = with_bands.join(
+            bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
+            ["band_idx", "band_sig"],
+        )
         # LSH pairs only gate the scorer; restrict to same canonical domain so
         # the channel adds hard same-domain candidates without exploding into
         # cross-domain noise (identity variants never change the domain).
-        lsh_pairs = self_join(with_bands, ["band_idx", "band_sig", "domain_canon"]).drop(
-            "domain_canon_b"
-        ).withColumn("domain_canon_b", F.col("domain_canon_a"))
+        lsh_pairs = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
         pairs = pairs.unionByName(lsh_pairs)
 
     return pairs.dropDuplicates(["email_a", "email_b"])

@@ -95,14 +95,23 @@ def jaro_winkler_similarity(s1, s2, prefix_scale: float = 0.1, boost_threshold: 
 
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    a = a.fillna("")
+    b = b.fillna("")
     if _jw_fast is not None:
         return pd.Series(
-            [_jw_fast(x or "", y or "") for x, y in zip(a, b)], dtype="float64"
+            [_jw_fast(x, y) for x, y in zip(a, b)], dtype="float64"
         )
-    return pd.Series(
-        [jaro_winkler_similarity(x or "", y or "") for x, y in zip(a, b)],
-        dtype="float64",
-    )
+    # vectorized short-circuit: equal non-empty strings score 1.0 without the
+    # O(n*m) loop — canonical locals coincide for most true-match pairs
+    # (quoted/CFWS variants canonicalize to the same local)
+    out = pd.Series(1.0, index=a.index, dtype="float64")
+    eq = (a == b) & (a.str.len() > 0)
+    hard = ~eq
+    if hard.any():
+        out[hard] = [
+            jaro_winkler_similarity(x, y) for x, y in zip(a[hard], b[hard])
+        ]
+    return out
 
 
 def score_pairs(pairs: DataFrame) -> DataFrame:
