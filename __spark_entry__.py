@@ -102,7 +102,137 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_rollup": _region_customer_rollup,
         "orders_without_lineitem": _orders_without_lineitem,
         "events_daily": _events_daily,
+        # --- training-data pipeline: text analysis (documents) -------------
+        "doc_token_counts": _doc_token_counts,
+        "doc_quality": _doc_quality,
+        "doc_lang_id": _doc_lang_id,
+        "doc_fingerprints": _doc_fingerprints,
+        # --- training-data pipeline: dedup ---------------------------------
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash": _dedup_minhash,  # LSH candidates: rows-only check
+        "dedup_simhash": _dedup_simhash,  # engine-specific hash: rows-only
+        # --- training-data pipeline: similarity search (embeddings) --------
+        "ann_topk": _ann_topk,
+        "ann_topk_lsh": _ann_topk_lsh,  # ANN scale path: rows-only check
+        "emb_near_dup": _emb_near_dup,
+        # --- training-data pipeline: multimodal plumbing -------------------
+        "mm_features": _mm_features,
+        "mm_metadata": _mm_metadata,
+        "mm_frames": _mm_frames,
     }
+
+
+# ---------------------------------------------------------------------------
+# training-data pipeline queries
+# ---------------------------------------------------------------------------
+
+
+def _docs(spark: SparkSession, sf: str) -> DataFrame:
+    return load_table(spark, sf, "documents")
+
+
+def _doc_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.functions.text_analysis import with_token_counts
+
+    return with_token_counts(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "n_words", "n_subtokens"
+    )
+
+
+def _doc_quality(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.functions.text_analysis import with_quality
+
+    return with_quality(_docs(spark, sf)).select(
+        "doc_id", "n_tokens", "alpha_ratio", "other_ratio", "stop_ratio",
+        "avg_token_len", "quality_score",
+    )
+
+
+def _doc_lang_id(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.functions.text_analysis import with_lang_id
+
+    return with_lang_id(_docs(spark, sf)).select(
+        "doc_id", "score_en", "score_de", "score_fr", "score_es", "score_zh",
+        "lang_pred",
+    )
+
+
+def _doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.functions.text_analysis import winnow_fingerprints
+
+    return winnow_fingerprints(_docs(spark, sf))
+
+
+def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.dedup import exact_dedup
+
+    return exact_dedup(_docs(spark, sf))
+
+
+def _dedup_ngram_jaccard(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(_docs(spark, sf), threshold=0.05)
+
+
+def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.dedup import minhash_near_dup
+
+    return minhash_near_dup(_docs(spark, sf), threshold=0.2)
+
+
+def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.dedup import simhash_near_dup
+
+    return simhash_near_dup(_docs(spark, sf), max_hamming=16)
+
+
+ANN_QUERY_IDS = list(range(10))
+
+
+def _ann_topk(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.similarity import brute_force_topk
+
+    return brute_force_topk(
+        load_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10
+    )
+
+
+def _ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.similarity import lsh_topk
+
+    return lsh_topk(load_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.similarity import near_dup_pairs
+
+    return near_dup_pairs(load_table(spark, sf, "embeddings"), threshold=0.4)
+
+
+def _mm_features(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.multimodal import (
+        attach_image_payload,
+        extract_image_features,
+    )
+
+    return extract_image_features(attach_image_payload(_docs(spark, sf)))
+
+
+def _mm_metadata(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.multimodal import (
+        attach_image_payload,
+        media_metadata,
+    )
+
+    return media_metadata(attach_image_payload(_docs(spark, sf)))
+
+
+def _mm_frames(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.multimodal import sample_frames
+
+    return sample_frames(_docs(spark, sf), stride=16)
 
 
 def _cents(col) -> F.Column:
@@ -324,4 +454,166 @@ def oracle_sql() -> dict[str, str]:
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""",
+        # --- training-data pipeline oracles --------------------------------
+        "doc_token_counts": r"""
+            SELECT doc_id,
+                CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens,
+                CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+')) AS INT) AS n_words,
+                CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]')) AS INT) AS n_subtokens
+            FROM documents""",
+        "doc_quality": r"""
+            WITH q AS (
+                SELECT doc_id,
+                    length(text) AS n_chars,
+                    len(regexp_extract_all(text, '\s')) AS n_ws,
+                    len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+                    len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+                    len(regexp_extract_all(text, '\S+')) AS n_tokens,
+                    len(regexp_extract_all(lower(text), '\b(the|a|an|and|or|of|to|in|is|it)\b')) AS n_stop
+                FROM documents
+            )
+            SELECT doc_id, CAST(n_tokens AS INT) AS n_tokens,
+                round(n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS alpha_ratio,
+                round((n_chars - n_ws - n_alpha - n_digit) / CAST(greatest(n_chars, 1) AS DOUBLE), 6) AS other_ratio,
+                round(n_stop / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS stop_ratio,
+                round((n_chars - n_ws) / CAST(greatest(n_tokens, 1) AS DOUBLE), 6) AS avg_token_len,
+                round(0.4 * (n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+                    + 0.3 * (1.0 - (n_chars - n_ws - n_alpha - n_digit) / CAST(greatest(n_chars, 1) AS DOUBLE))
+                    + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+            FROM q""",
+        "doc_lang_id": r"""
+            WITH s AS (
+                SELECT doc_id,
+                    len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that)\b')) AS s_en,
+                    len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')) AS s_de,
+                    len(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans|pour)\b')) AS s_fr,
+                    len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una|que)\b')) AS s_es,
+                    len(regexp_extract_all(text, '[\x{4e00}-\x{9fff}]')) AS s_zh
+                FROM documents
+            )
+            SELECT doc_id,
+                CAST(s_en AS INT) AS score_en, CAST(s_de AS INT) AS score_de,
+                CAST(s_fr AS INT) AS score_fr, CAST(s_es AS INT) AS score_es,
+                CAST(s_zh AS INT) AS score_zh,
+                CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+                     WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+                     WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+                     WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+                     WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+                     ELSE 'zh' END AS lang_pred
+            FROM s""",
+        "doc_fingerprints": r"""
+            WITH d AS (
+                SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id,
+                    list_transform(range(1, greatest(length(norm) - 7, 1) + 1),
+                        i -> list_reduce(
+                            list_transform(range(1, 16),
+                                j -> CAST(strpos('0123456789abcdef',
+                                          substr(md5(substr(norm, CAST(i AS INT), 8)), CAST(j AS INT), 1)) - 1 AS BIGINT)),
+                            (acc, x) -> acc * 16 + x)) AS ghash
+                FROM d
+            ),
+            w AS (
+                SELECT doc_id,
+                    list_sort(list_distinct(
+                        list_transform(range(1, greatest(len(ghash) - 3, 1) + 1),
+                            j -> list_min(ghash[j:j+3])))) AS fp
+                FROM g
+            )
+            SELECT doc_id, unnest(fp) AS gram_hash FROM w""",
+        "dedup_exact": r"""
+            WITH fp AS (
+                SELECT doc_id,
+                    md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp_md5
+                FROM documents
+            ),
+            c AS (SELECT fp_md5, min(doc_id) AS canonical_id FROM fp GROUP BY fp_md5)
+            SELECT f.doc_id, f.fp_md5, c.canonical_id,
+                   f.doc_id <> c.canonical_id AS is_duplicate
+            FROM fp f JOIN c USING (fp_md5)""",
+        "dedup_ngram_jaccard": r"""
+            WITH g AS (
+                SELECT doc_id AS id, source AS block,
+                    list_distinct(CASE WHEN len(w) >= 2
+                        THEN list_transform(range(1, len(w)),
+                                 i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])
+                        ELSE CAST([] AS VARCHAR[]) END) AS grams
+                FROM (SELECT doc_id, source,
+                          regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
+                      FROM documents)
+            ),
+            p AS (
+                SELECT a.id AS id_a, b.id AS id_b,
+                    round(len(list_intersect(a.grams, b.grams))
+                        / CAST(greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS DOUBLE),
+                        6) AS jaccard
+                FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+            )
+            SELECT * FROM p WHERE jaccard >= 0.05""",
+        "ann_topk": r"""
+            WITH n AS (
+                SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings)
+            ),
+            q AS (
+                SELECT vec_id AS query_id, v AS qv, nrm AS qnrm FROM n
+                WHERE vec_id IN (0,1,2,3,4,5,6,7,8,9)
+            ),
+            s AS (
+                SELECT query_id, n.vec_id AS neighbor_id,
+                    round(list_sum(list_transform(range(1, len(qv) + 1),
+                              i -> qv[CAST(i AS INT)] * v[CAST(i AS INT)]))
+                          / greatest(qnrm * nrm, 1e-12), 6) AS cosine
+                FROM q JOIN n ON n.vec_id <> q.query_id
+            ),
+            r AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+                FROM s
+            )
+            SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+            FROM r WHERE rank <= 10""",
+        "emb_near_dup": r"""
+            WITH n AS (
+                SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+                FROM (SELECT vec_id,
+                          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+                      FROM embeddings)
+            ),
+            s AS (
+                SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                    round(list_sum(list_transform(range(1, len(a.v) + 1),
+                              i -> a.v[CAST(i AS INT)] * b.v[CAST(i AS INT)]))
+                          / greatest(a.nrm * b.nrm, 1e-12), 6) AS cosine
+                FROM n a JOIN n b ON a.vec_id < b.vec_id
+            )
+            SELECT * FROM s WHERE cosine >= 0.4""",
+        "mm_features": r"""
+            SELECT doc_id,
+                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+                md5(text) AS digest,
+                CAST(greatest(((doc_id * 37) % 512 + 64) // 8, 1) AS INT) AS thumb_w,
+                CAST(greatest(((doc_id * 53) % 512 + 64) // 8, 1) AS INT) AS thumb_h
+            FROM documents""",
+        "mm_metadata": r"""
+            SELECT doc_id,
+                CAST((doc_id * 37) % 512 + 64 AS INT) AS width,
+                CAST((doc_id * 53) % 512 + 64 AS INT) AS height,
+                'image/png' AS mime
+            FROM documents""",
+        "mm_frames": r"""
+            WITH f AS (
+                SELECT doc_id, text,
+                    unnest(range(1, CAST(floor((length(text) - 1) / 16.0) AS BIGINT) + 2)) AS i
+                FROM documents WHERE length(text) >= 1
+            )
+            SELECT doc_id, CAST(i - 1 AS INT) AS frame_idx,
+                ord(substr(text, CAST((i - 1) * 16 + 1 AS INT), 1)) AS frame_code
+            FROM f""",
     }

@@ -1,0 +1,242 @@
+"""Deduplication operators for the training-data pipeline over `documents`.
+
+Five channels, from exact to fuzzy — the standard large-corpus dedup ladder:
+
+  1. exact            — md5 over normalized text, groupBy fingerprint
+                        (one shuffle on a 32-char key; canonical = min doc_id)
+  2. n-gram Jaccard   — word-bigram set Jaccard on blocked candidate pairs,
+                        pure Catalyst array ops (array_intersect/union)
+  3. MinHash + LSH    — banded minhash over word shingles, bucket join,
+                        exact-Jaccard verification of candidates
+  4. SimHash          — 64-bit sign-of-weighted-bit-votes signature; hamming
+                        neighbors found by 4×16-bit band equality (any doc
+                        pair within hamming distance 3 shares ≥1 exact band)
+  5. embedding cosine — see operators/similarity.py (near_dup_pairs)
+
+Scale notes (100 TB): channel 1 is a single hash-partitioned shuffle; 2 is
+only run within blocks (here: `source`; at scale: the channel-3 LSH buckets),
+never all-pairs; 3's bucket join is bounded by frequent-bucket pruning exactly
+like operators/blocking.py; 4's band join is an equi-join Catalyst can plan as
+sort-merge with AQE skew splitting. No driver-side collects anywhere.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import ArrayType, LongType
+
+from ..functions.text_analysis import WORD_RE, normalized_text
+from .blocking import N_BANDS, ROWS_PER_BAND, minhash_signature
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """→ (id, fp_md5, canonical_id, is_duplicate). canonical = min id per
+    fingerprint group; is_duplicate marks every non-canonical member."""
+    fp = df.select(
+        F.col(id_col), F.md5(normalized_text(F.col(text_col))).alias("fp_md5")
+    )
+    canon = fp.groupBy("fp_md5").agg(F.min(id_col).alias("canonical_id"))
+    return fp.join(canon, "fp_md5").select(
+        id_col,
+        "fp_md5",
+        "canonical_id",
+        (F.col(id_col) != F.col("canonical_id")).alias("is_duplicate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. word-bigram Jaccard over blocked pairs (Catalyst-native)
+# ---------------------------------------------------------------------------
+
+
+def _word_bigrams(text_col: str) -> F.Column:
+    words = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(WORD_RE), 0)
+    # guard: sequence(1, 0) would generate a DESCENDING sequence, and the
+    # DuckDB oracle's range(1, len) is empty for len<2 — match that exactly
+    bigrams = F.when(
+        F.size(words) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - F.lit(1)),
+            lambda i: F.concat_ws(" ", F.get(words, i - F.lit(1)), F.get(words, i)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(bigrams)
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.0,
+) -> DataFrame:
+    """All within-block pairs with word-bigram Jaccard ≥ threshold.
+    → (id_a, id_b, jaccard). Self-join shuffles on the block key only; at
+    scale the block key is an LSH bucket, keeping blocks O(100) docs."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        F.col(block_col).alias("block"),
+        _word_bigrams(text_col).alias("grams"),
+    )
+    a, b = base.alias("a"), base.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.round(
+        inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6
+    )
+    return (
+        a.join(b, "block")
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            jac.alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. MinHash-LSH near-dup (word shingles; reuses blocking.py's fixed-seed
+#    signature machinery)
+# ---------------------------------------------------------------------------
+
+
+@pandas_udf(ArrayType(LongType()))
+def _word_minhash_bands(texts: pd.Series) -> pd.Series:
+    """Band signatures of the char 3-gram shingle set of the normalized
+    text (Arrow-batched; fixed seeds shared with operators/blocking.py)."""
+
+    def bands(s):
+        if not isinstance(s, str):
+            s = ""
+        sig = minhash_signature(s)
+        out = []
+        for b in range(N_BANDS):
+            h = np.int64(1469598103934665603)
+            for v in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]:
+                h = np.int64((int(h) ^ int(v)) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
+            out.append(int(h))
+        return out
+
+    return texts.map(bands)
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.5,
+    max_bucket: int = 200,
+) -> DataFrame:
+    """LSH candidates → exact word-bigram-Jaccard verification.
+    → (id_a, id_b, jaccard ≥ threshold). Candidate generation never goes
+    quadratic: band buckets larger than max_bucket are dropped (they are
+    non-discriminative; see operators/blocking.py for the same argument)."""
+    norm = normalized_text(F.col(text_col))
+    base = df.select(
+        F.col(id_col).alias("id"),
+        _word_bigrams(text_col).alias("grams"),
+        F.posexplode(_word_minhash_bands(norm)).alias("band_idx", "band_sig"),
+    )
+    sizes = base.groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = base.join(sizes.where(F.col("_bn") <= max_bucket), ["band_idx", "band_sig"])
+    a, b = bounded.alias("a"), bounded.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
+    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6)
+    return (
+        a.join(b, ["band_idx", "band_sig"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 4. SimHash
+# ---------------------------------------------------------------------------
+
+_FNV_OFFSET = np.uint64(14695981039346656037)
+_FNV_PRIME = np.uint64(1099511628211)
+
+
+def _fnv1a64(token: str) -> int:
+    h = _FNV_OFFSET
+    for byte in token.encode("utf-8"):
+        h = np.uint64((int(h) ^ byte) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
+    return int(h)
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over word tokens (unweighted votes), as unsigned int."""
+    import re as _re
+
+    tokens = _re.findall(r"[a-z0-9]+", text.lower() if isinstance(text, str) else "")
+    if not tokens:
+        return 0
+    votes = np.zeros(64, dtype=np.int64)
+    for t in tokens:
+        h = _fnv1a64(t)
+        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
+        votes += np.where(bits == 1, 1, -1)
+    sig = np.uint64(0)
+    for i in range(64):
+        if votes[i] > 0:
+            sig |= np.uint64(1) << np.uint64(i)
+    return int(sig)
+
+
+@pandas_udf(LongType())
+def simhash_udf(texts: pd.Series) -> pd.Series:
+    # signed view of the unsigned 64-bit signature (Spark LongType)
+    return texts.map(lambda s: np.int64(np.uint64(simhash64(s))))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """→ (id_a, id_b, hamming ≤ max_hamming). Candidates via 4×16-bit band
+    equality (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bands identical), then exact
+    popcount filter via bit_count(a XOR b) — all JVM-side."""
+    sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
+    banded = sig.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band_idx"),
+                        F.shiftright(F.col("sig"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias("band_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "sig", "band.band_idx", "band.band_val")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .where(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )

@@ -1,0 +1,249 @@
+"""Tests for the training-data pipeline operators (text analysis, dedup,
+similarity search, multimodal plumbing).
+
+Synthetic inputs with planted duplicates/near-duplicates so recall and
+precision are asserted against known ground truth, independent of the
+driver's DuckDB oracles (which cover the exact-SQL-expressible subset)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def test_token_counts(spark):
+    from email_address_parser_spark.functions.text_analysis import with_token_counts
+
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text="Hello, world! x2"), Row(doc_id=2, text="   "), Row(doc_id=3, text="one")]
+    )
+    rows = {r.doc_id: r for r in with_token_counts(df).collect()}
+    # subtokens of "Hello, world! x2": Hello , world ! x 2
+    assert (rows[1].n_tokens, rows[1].n_words, rows[1].n_subtokens) == (3, 3, 6)
+    assert rows[2].n_tokens == 0
+    assert rows[3].n_words == 1
+
+
+def test_quality_monotone(spark):
+    from email_address_parser_spark.functions.text_analysis import with_quality
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the quick brown fox jumps over the lazy dog " * 5),
+            Row(doc_id=2, text="@@@@ #### !!!! %%%%"),
+        ]
+    )
+    rows = {r.doc_id: r for r in with_quality(df).collect()}
+    assert rows[1].quality_score > rows[2].quality_score
+    assert rows[2].alpha_ratio == 0.0
+    assert 0.0 <= rows[1].quality_score <= 1.0
+
+
+def test_lang_id(spark):
+    from email_address_parser_spark.functions.text_analysis import with_lang_id
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the cat and the dog is in that house"),
+            Row(doc_id=2, text="der hund und die katze ist nicht ein tier"),
+            Row(doc_id=3, text="le chat et les chiens est dans une maison pour"),
+            Row(doc_id=4, text="el perro y los gatos es una casa que"),
+            Row(doc_id=5, text="这是 中文 文本 测试"),
+            Row(doc_id=6, text="zzz qqq xxx"),
+        ]
+    )
+    got = {r.doc_id: r.lang_pred for r in with_lang_id(df).collect()}
+    assert got == {1: "en", 2: "de", 3: "fr", 4: "es", 5: "zh", 6: "und"}
+
+
+def test_winnow_fingerprint_overlap(spark):
+    """Near-duplicate docs share most winnow fingerprints; unrelated don't."""
+    from email_address_parser_spark.functions.text_analysis import winnow_fingerprints
+
+    base = "the quick brown fox jumps over the lazy dog and runs far away home"
+    edited = base.replace("lazy", "sleepy")
+    other = "completely different content about spark query engines at scale"
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=base), Row(doc_id=2, text=edited), Row(doc_id=3, text=other)]
+    )
+    fps = winnow_fingerprints(df).collect()
+    sets = {i: {r.gram_hash for r in fps if r.doc_id == i} for i in (1, 2, 3)}
+    j12 = len(sets[1] & sets[2]) / len(sets[1] | sets[2])
+    j13 = len(sets[1] & sets[3]) / len(sets[1] | sets[3])
+    assert j12 > 0.5
+    assert j13 == 0.0
+
+
+# ---------------------------------------------------------------------------
+# dedup
+# ---------------------------------------------------------------------------
+
+
+def _dup_corpus(spark):
+    rows = [
+        Row(doc_id=1, source="s0", text="The quick brown fox jumps over the lazy dog"),
+        # exact dup modulo case/whitespace of 1
+        Row(doc_id=2, source="s0", text="  the QUICK brown   fox jumps over the lazy dog "),
+        # near dup of 1 (one word changed)
+        Row(doc_id=3, source="s0", text="The quick brown fox leaps over the lazy dog"),
+        Row(doc_id=4, source="s0", text="completely unrelated text about query engines"),
+        Row(doc_id=5, source="s1", text="another standalone document with its own words"),
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_exact_dedup(spark):
+    from email_address_parser_spark.operators.dedup import exact_dedup
+
+    out = {r.doc_id: r for r in exact_dedup(_dup_corpus(spark)).collect()}
+    assert out[1].canonical_id == 1 and not out[1].is_duplicate
+    assert out[2].canonical_id == 1 and out[2].is_duplicate
+    assert not out[3].is_duplicate and not out[4].is_duplicate
+
+
+def test_ngram_jaccard_pairs(spark):
+    from email_address_parser_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(_dup_corpus(spark), threshold=0.0).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # case/ws-normalized bigrams identical
+    assert 0.5 < pairs[(1, 3)] < 1.0
+    assert pairs[(1, 4)] == 0.0
+    assert (1, 5) not in pairs  # different block
+
+
+def test_minhash_near_dup_recall(spark):
+    from email_address_parser_spark.operators.dedup import minhash_near_dup
+
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dup(_dup_corpus(spark), threshold=0.5).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 1.0
+    assert (1, 3) in got  # near dup recovered via LSH
+    assert (1, 4) not in got
+
+
+def test_simhash_near_dup(spark):
+    from email_address_parser_spark.operators.dedup import simhash64, simhash_near_dup
+
+    # deterministic kernel
+    assert simhash64("the quick fox") == simhash64("the quick fox")
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in simhash_near_dup(_dup_corpus(spark), max_hamming=10).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] == 0  # normalized-identical → same sig
+    assert got.get((1, 3), 99) <= 10
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+
+def _vec_corpus(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.standard_normal((6, 64)).astype("float32")
+    base[1] = base[0] + 0.01 * rng.standard_normal(64).astype("float32")  # near-dup of 0
+    base[2] = -base[0]  # opposite
+    rows = [
+        Row(vec_id=i, embedding=[float(x) for x in base[i]]) for i in range(6)
+    ]
+    return spark.createDataFrame(rows)
+
+
+def test_brute_force_topk(spark):
+    from email_address_parser_spark.operators.similarity import brute_force_topk
+
+    out = brute_force_topk(_vec_corpus(spark), [0], k=3).collect()
+    assert [r.neighbor_id for r in sorted(out, key=lambda r: r.rank)][0] == 1
+    assert all(r.query_id == 0 for r in out)
+    assert len(out) == 3
+    by_rank = sorted(out, key=lambda r: r.rank)
+    assert by_rank[0].cosine > 0.99
+    assert all(by_rank[i].cosine >= by_rank[i + 1].cosine for i in range(len(by_rank) - 1))
+
+
+def test_near_dup_pairs(spark):
+    from email_address_parser_spark.operators.similarity import near_dup_pairs
+
+    got = {(r.id_a, r.id_b): r.cosine for r in near_dup_pairs(_vec_corpus(spark), 0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] > 0.99
+    assert all(k == (0, 1) for k in got)
+
+
+def test_lsh_topk_finds_near_dup(spark):
+    from email_address_parser_spark.operators.similarity import lsh_topk
+
+    out = lsh_topk(_vec_corpus(spark), [0], k=3).collect()
+    # the planted near-identical vector shares the bucket and ranks first
+    assert sorted(out, key=lambda r: r.rank)[0].neighbor_id == 1
+
+
+def test_lsh_bucket_deterministic(spark):
+    from email_address_parser_spark.operators.similarity import with_lsh_bucket
+
+    df = _vec_corpus(spark)
+    a = {r.vec_id: r.bucket for r in with_lsh_bucket(df).collect()}
+    b = {r.vec_id: r.bucket for r in with_lsh_bucket(df).collect()}
+    assert a == b
+    assert a[0] == a[1]  # near-identical vectors share the 16-bit signature
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def test_multimodal_features_roundtrip(spark):
+    import hashlib
+
+    from email_address_parser_spark.operators.multimodal import (
+        attach_image_payload,
+        extract_image_features,
+        media_metadata,
+    )
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=7, text="hello multimodal"), Row(doc_id=8, text="payload two")]
+    )
+    media = attach_image_payload(docs)
+    feats = {r.doc_id: r for r in extract_image_features(media).collect()}
+    assert feats[7].n_bytes == len("hello multimodal".encode())
+    assert feats[7].digest == hashlib.md5(b"hello multimodal").hexdigest()
+    meta = {r.doc_id: r for r in media_metadata(media).collect()}
+    assert feats[7].thumb_w == max(meta[7].width // 8, 1)
+    assert meta[7].mime == "image/png"
+
+
+def test_media_metadata_prunes_payload(spark):
+    from email_address_parser_spark.operators.multimodal import (
+        attach_image_payload,
+        media_metadata,
+    )
+    import tempfile
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="prune me")])
+    with tempfile.TemporaryDirectory() as d:
+        attach_image_payload(docs).write.mode("overwrite").parquet(d)
+        plan = media_metadata(spark.read.parquet(d))._jdf.queryExecution().executedPlan().toString()
+        assert "payload" not in plan  # column pruned from the parquet scan
+
+
+def test_sample_frames(spark):
+    from email_address_parser_spark.operators.multimodal import sample_frames
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="a" * 33)])
+    out = sorted(sample_frames(docs, stride=16).collect(), key=lambda r: r.frame_idx)
+    assert [r.frame_idx for r in out] == [0, 1, 2]
+    assert all(r.frame_code == ord("a") for r in out)
