@@ -100,6 +100,21 @@ def main() -> None:
 
         _force(queries()["events_daily"](spark, sf_dir))
 
+    def q_dedup():
+        from __spark_entry__ import queries
+
+        _force(queries()["dedup_minhash"](spark, sf_dir))
+
+    def q_ann():
+        from __spark_entry__ import queries
+
+        _force(queries()["ann_topk"](spark, sf_dir))
+
+    def q_docs():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_fingerprints"](spark, sf_dir))
+
     suite = {
         "er_mentions": q_mentions,
         "er_pairs_scored": q_pairs_scored,
@@ -108,6 +123,9 @@ def main() -> None:
         "q3_shipping_priority": q_q3,
         "top_order_per_customer": q_top_order,
         "events_daily": q_events,
+        "dedup_minhash": q_dedup,
+        "ann_topk": q_ann,
+        "doc_fingerprints": q_docs,
     }
 
     timings = {}

@@ -135,3 +135,60 @@ def extract_candidates_udf(texts: pd.Series) -> pd.Series:
     # .map with a compiled-regex closure: the per-call work is regex finditer
     # (C); there is no cheaper vectorized formulation of span arithmetic.
     return texts.map(lambda t: extract_candidates(t) if isinstance(t, str) else [])
+
+
+MENTION_STRUCT = StructType(
+    [
+        StructField("raw", StringType()),
+        StructField("local_part", StringType()),
+        StructField("domain", StringType()),
+        StructField("valid_strict", BooleanType()),
+        StructField("valid_lax", BooleanType()),
+    ]
+)
+
+
+@pandas_udf(ArrayType(MENTION_STRUCT))
+def extract_parse_udf(texts: pd.Series) -> pd.Series:
+    """Fused extract+parse: ONE Arrow boundary crossing per batch instead of
+    two (extract_candidates_udf → explode → parse_email_udf re-serializes
+    every candidate back into Python). The parse stays fully vectorized: all
+    candidates of the batch are flattened into a single Series, run through
+    parse_batch once, then regrouped per turn."""
+    cand_lists = [
+        extract_candidates(t) if isinstance(t, str) else [] for t in texts
+    ]
+    flat = [c for lst in cand_lists for c in lst]
+    if not flat:
+        return pd.Series([[] for _ in cand_lists], dtype=object)
+    parsed = parse_batch(pd.Series(flat))
+
+    def _opt(v):
+        return None if pd.isna(v) else v
+
+    recs = list(
+        zip(
+            flat,
+            parsed["local_part"],
+            parsed["domain"],
+            parsed["valid_strict"],
+            parsed["valid_lax"],
+        )
+    )
+    rows, idx = [], 0
+    for lst in cand_lists:
+        row = []
+        for _ in lst:
+            raw, lp, dom, vs, vl = recs[idx]
+            idx += 1
+            row.append(
+                {
+                    "raw": raw,
+                    "local_part": _opt(lp),
+                    "domain": _opt(dom),
+                    "valid_strict": bool(vs),
+                    "valid_lax": bool(vl),
+                }
+            )
+        rows.append(row)
+    return pd.Series(rows, dtype=object)

@@ -135,29 +135,43 @@ def minhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold: float = 0.5,
-    max_bucket: int = 200,
+    max_bucket: int = 64,
 ) -> DataFrame:
     """LSH candidates → exact word-bigram-Jaccard verification.
-    → (id_a, id_b, jaccard ≥ threshold). Candidate generation never goes
-    quadratic: band buckets larger than max_bucket are dropped (they are
-    non-discriminative; see operators/blocking.py for the same argument)."""
+    → (id_a, id_b, jaccard ≥ threshold).
+
+    Shape matters at scale:
+      * band buckets larger than max_bucket are dropped (non-discriminative;
+        see operators/blocking.py for the same argument) — candidate
+        generation never goes quadratic;
+      * the band self-join carries ONLY ids (a doc colliding in several bands
+        would otherwise duplicate its gram array through the shuffle);
+      * pairs are de-duplicated BEFORE the gram arrays are joined back, so
+        the exact-Jaccard verification runs once per unique pair."""
     norm = normalized_text(F.col(text_col))
-    base = df.select(
+    grams = df.select(F.col(id_col).alias("id"), _word_bigrams(text_col).alias("grams"))
+    bands = df.select(
         F.col(id_col).alias("id"),
-        _word_bigrams(text_col).alias("grams"),
         F.posexplode(_word_minhash_bands(norm)).alias("band_idx", "band_sig"),
     )
-    sizes = base.groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
-    bounded = base.join(sizes.where(F.col("_bn") <= max_bucket), ["band_idx", "band_sig"])
+    sizes = bands.groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = bands.join(sizes.where(F.col("_bn") <= max_bucket), ["band_idx", "band_sig"])
     a, b = bounded.alias("a"), bounded.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.grams"), F.col("b.grams")))
-    union = F.size(F.array_union(F.col("a.grams"), F.col("b.grams")))
-    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6)
-    return (
+    cand = (
         a.join(b, ["band_idx", "band_sig"])
         .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), jac.alias("jaccard"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    ga = grams.select(F.col("id").alias("id_a"), F.col("grams").alias("_ga"))
+    gb = grams.select(F.col("id").alias("id_b"), F.col("grams").alias("_gb"))
+    inter = F.size(F.array_intersect(F.col("_ga"), F.col("_gb")))
+    union = F.size(F.array_union(F.col("_ga"), F.col("_gb")))
+    jac = F.round(inter.cast("double") / F.greatest(union, F.lit(1)).cast("double"), 6)
+    return (
+        cand.join(ga, "id_a")
+        .join(gb, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -21,46 +21,49 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.udfs import extract_candidates_udf, parse_email_udf
+from ..functions.udfs import extract_parse_udf
 
 # chars a verbatim capture may be wrapped in that the canonical form drops:
 # single framing WSP of strict dot-atoms, full CFWS of lax forms.
 _COMMENT_PATTERN = r"\((?:[^()\\]|\\.)*\)"
 
 
-def extract_mentions(transcripts: DataFrame) -> DataFrame:
-    """transcripts → one row per candidate mention, parsed strict-first."""
-    candidates = (
+def extract_mentions(transcripts: DataFrame, passthrough: tuple = ()) -> DataFrame:
+    """transcripts → one row per candidate mention, parsed strict-first.
+
+    Single fused ArrowEvalPython stage (extract_parse_udf): candidates never
+    round-trip the JVM↔Python boundary between extraction and parse.
+    `passthrough` columns (e.g. the event-time `ts` for streaming windows)
+    are carried alongside the mention columns."""
+    exploded = (
         transcripts
         # cheap JVM-side gate: no '@' ⇒ no address; avoids the Python hop
         .where(F.col("text").contains("@"))
         .select(
             "conv_id",
             "turn_idx",
-            F.posexplode(extract_candidates_udf(F.col("text"))).alias(
-                "mention_idx", "raw"
+            *passthrough,
+            F.posexplode(extract_parse_udf(F.col("text"))).alias(
+                "mention_idx", "m"
             ),
         )
     )
-    parsed = candidates.withColumn("parsed", parse_email_udf(F.col("raw")))
-    return (
-        parsed.select(
-            "conv_id",
-            "turn_idx",
-            "mention_idx",
-            "raw",
-            F.col("parsed.local_part").alias("local_part"),
-            F.col("parsed.domain").alias("domain"),
-            F.col("parsed.valid_strict").alias("valid_strict"),
-            F.col("parsed.valid_lax").alias("valid_lax"),
-        )
-        .withColumn(
-            "email",
-            F.when(
-                F.col("valid_lax"),
-                F.concat(F.col("local_part"), F.lit("@"), F.col("domain")),
-            ),
-        )
+    return exploded.select(
+        "conv_id",
+        "turn_idx",
+        *passthrough,
+        "mention_idx",
+        F.col("m.raw").alias("raw"),
+        F.col("m.local_part").alias("local_part"),
+        F.col("m.domain").alias("domain"),
+        F.col("m.valid_strict").alias("valid_strict"),
+        F.col("m.valid_lax").alias("valid_lax"),
+    ).withColumn(
+        "email",
+        F.when(
+            F.col("valid_lax"),
+            F.concat(F.col("local_part"), F.lit("@"), F.col("domain")),
+        ),
     )
 
 

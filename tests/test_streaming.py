@@ -1,0 +1,80 @@
+"""Structured Streaming: streamed mention extraction must agree with batch,
+and watermarked windows must aggregate event-time correctly."""
+
+from __future__ import annotations
+
+import datetime
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+
+def _write_transcripts(spark, path):
+    ts0 = datetime.datetime(2026, 1, 1, 10, 0, 0)
+    rows = [
+        Row(conv_id="c1", turn_idx=0, role="user",
+            text="mail me at alice@example.com please", tool=None, ts=ts0),
+        Row(conv_id="c1", turn_idx=1, role="agent",
+            text="cc <bob@other.org> and <\"q uote\"@example.com>", tool=None,
+            ts=ts0 + datetime.timedelta(minutes=30)),
+        Row(conv_id="c2", turn_idx=0, role="user",
+            text="no address here", tool=None,
+            ts=ts0 + datetime.timedelta(hours=2)),
+        Row(conv_id="c2", turn_idx=1, role="user",
+            text="late alice@example.com again", tool=None,
+            ts=ts0 + datetime.timedelta(hours=2, minutes=10)),
+    ]
+    from email_address_parser_spark.streaming.extract_stream import TRANSCRIPTS_SCHEMA
+
+    df = spark.createDataFrame(rows, schema=TRANSCRIPTS_SCHEMA)
+    # two files so the stream sees >1 micro-batch with maxFilesPerTrigger=1
+    df.where(F.col("conv_id") == "c1").coalesce(1).write.mode("overwrite").parquet(f"{path}/p1")
+    df.where(F.col("conv_id") == "c2").coalesce(1).write.mode("append").parquet(f"{path}/p1")
+    return df
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
+    from email_address_parser_spark.streaming.extract_stream import (
+        read_transcript_stream,
+        run_once_to_memory,
+        stream_mentions,
+    )
+
+    batch_df = _write_transcripts(spark, tmp_path)
+    stream = read_transcript_stream(spark, f"{tmp_path}/p1", max_files_per_trigger=1)
+    run_once_to_memory(stream_mentions(stream), "mentions_stream")
+    got = spark.sql(
+        "SELECT conv_id, turn_idx, mention_idx, raw, email FROM mentions_stream"
+    ).collect()
+    want = with_canonical(extract_mentions(batch_df)).select(
+        "conv_id", "turn_idx", "mention_idx", "raw", "email"
+    ).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, want))
+    assert len(got) == 4  # 3 valid + 0 from c2t0 + 1 late
+
+
+def test_windowed_domain_counts(spark, tmp_path):
+    from email_address_parser_spark.streaming.extract_stream import (
+        read_transcript_stream,
+        run_once_to_memory,
+        stream_mentions,
+        windowed_domain_counts,
+    )
+
+    _write_transcripts(spark, tmp_path)
+    stream = read_transcript_stream(spark, f"{tmp_path}/p1")
+    windowed = windowed_domain_counts(stream_mentions(stream), window="1 hour")
+    # complete mode: append would emit only watermark-finalized windows, and
+    # the test corpus's max event time never advances past its own windows
+    run_once_to_memory(windowed, "windowed_counts", output_mode="complete")
+    rows = spark.sql(
+        "SELECT window_start, domain_canon, n_mentions FROM windowed_counts"
+    ).collect()
+    by_key = {(r.window_start.hour, r.domain_canon): r.n_mentions for r in rows}
+    # 10:00 window: alice@example.com, "q uote"@example.com, bob@other.org
+    assert by_key[(10, "example.com")] == 2
+    assert by_key[(10, "other.org")] == 1
+    # 12:00 window: the late alice mention
+    assert by_key[(12, "example.com")] == 1
