@@ -1,0 +1,22 @@
+"""PySpark-native email identity-resolution + training-data pipeline engine.
+
+Public surface (see SURVEY.md §2 for the operator inventory):
+
+  kernel.parser         — RFC 5322/6532 EmailAddress API (pure Python)
+  functions.udfs        — Arrow/pandas UDFs (fused extract+parse kernel)
+  functions.text_analysis — Catalyst text ops (tokens/quality/lang/fingerprints)
+  operators.extract     — transcripts → mentions (F2-F5)
+  operators.blocking    — salted domain blocks + MinHash-LSH + reps (F6-F8)
+  operators.scoring     — JW/Levenshtein pairwise scorer + match edges (F9-F10)
+  operators.cc          — large-star/small-star connected components (F11)
+  operators.dedup       — exact/Jaccard/MinHash/SimHash document dedup
+  operators.similarity  — cosine ANN (brute-force + hyperplane LSH)
+  operators.multimodal  — binary payload plumbing (mapInPandas, stubbed decode)
+  streaming.extract_stream — Structured Streaming extraction + windowed rollups
+  pipeline              — checkpoint/resume orchestration + clustering
+  session               — SparkSession factory (AQE/Arrow/UTC defaults)
+  sources.testdata      — driver parquet loaders + transcripts derivation
+  synth                 — deterministic labeled transcript synthesizer
+"""
+
+__version__ = "0.2.0"

@@ -134,16 +134,135 @@ def _unique_mentions(mentions: DataFrame) -> DataFrame:
     )
 
 
+def uniq_valid_mentions(mentions: DataFrame) -> DataFrame:
+    """Distinct valid emails with their canonical/matching columns — the ONE
+    table every downstream ER stage keys off. Compute (and persist) it once:
+    reps, star edges, and the cluster node set all derive from it with
+    shuffles over |distinct emails| rows instead of re-scanning and
+    re-deduplicating the full mention stream per stage."""
+    return (
+        mentions.where(F.col("valid_lax"))
+        .select("email", "local_canon", "domain_canon", "match_key")
+        .dropDuplicates(["email"])
+    )
+
+
+def match_key_representatives(mentions: DataFrame, uniq: DataFrame = None) -> DataFrame:
+    """One representative per exact-canonical key (match_key = dotless local
+    @ lower domain): the min email, with the key's own dotless local as the
+    scoring feature. Emails sharing a match_key are trivially the same
+    entity (score formula: jw=1, lev=0, dom=0, dotless_eq=1 ⇒ score=1.0),
+    so the quadratic fuzzy stage only needs to compare KEYS — the standard
+    exact-dedup-before-fuzzy-match reduction. At 10^12 turns this shrinks
+    the pair space by the per-entity variant multiplicity squared."""
+    # every member of a match_key group has the same dot-stripped local (by
+    # construction of match_key), so min() is just a deterministic pick — no
+    # regex re-split of the key (locals/domain-literals may themselves
+    # contain '@')
+    dotless = F.regexp_replace(F.col("local_canon"), r"\.", "")
+    src = uniq if uniq is not None else uniq_valid_mentions(mentions)
+    return (
+        src.groupBy("match_key", "domain_canon")
+        .agg(
+            F.min("email").alias("email"),
+            F.min(dotless).alias("local_canon"),
+        )
+        .select("email", "local_canon", "domain_canon")
+    )
+
+
+def exact_match_edges(mentions: DataFrame, uniq: DataFrame = None) -> DataFrame:
+    """Star edges (root = min email) inside each exact-canonical group —
+    guaranteed matches that never enter the pairwise scorer. One shuffle on
+    match_key; output is already depth-1, so the CC loop converges on these
+    immediately."""
+    src = uniq if uniq is not None else uniq_valid_mentions(mentions)
+    uniq = src.select("email", "match_key")
+    roots = uniq.groupBy("match_key").agg(F.min("email").alias("_root"))
+    return (
+        uniq.join(roots, "match_key")
+        .where(F.col("email") != F.col("_root"))
+        .select(
+            F.col("_root").alias("src"),
+            F.col("email").alias("dst"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+
+_PAIR_COLS = [
+    "email_a", "email_b", "local_canon_a", "local_canon_b",
+    "domain_canon_a", "domain_canon_b",
+]
+
+
+def _grouped_pairs(blocked: DataFrame, key_cols: list, max_members: int) -> DataFrame:
+    """Single-shuffle pair expansion for BOUNDED blocks: collect each block
+    into a sorted array and explode the ordered pairs with higher-order
+    functions — replaces the self-join's two shuffle-sorts (and, for LSH,
+    the extra bucket-size groupBy + join) with one groupBy. Only safe when
+    block size is capped (salting / max_bucket guarantee that); the
+    unbounded oracle path keeps the sort-merge self-join."""
+    members = F.array_sort(
+        F.collect_list(F.struct("email", "local_canon", "domain_canon"))
+    )
+    g = (
+        blocked.groupBy(*key_cols)
+        .agg(members.alias("ms"))
+        .where((F.size("ms") >= 2) & (F.size("ms") <= max_members))
+    )
+    size = F.size(F.col("ms"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda a, i: F.transform(
+                F.slice(
+                    F.col("ms"),
+                    i + F.lit(2),
+                    F.greatest(size - i - F.lit(1), F.lit(0)),
+                ),
+                lambda b: F.struct(a.alias("a"), b.alias("b")),
+            ),
+        )
+    )
+    return g.select(F.explode(pairs).alias("p")).select(
+        F.col("p.a.email").alias("email_a"),
+        F.col("p.b.email").alias("email_b"),
+        F.col("p.a.local_canon").alias("local_canon_a"),
+        F.col("p.b.local_canon").alias("local_canon_b"),
+        F.col("p.a.domain_canon").alias("domain_canon_a"),
+        F.col("p.b.domain_canon").alias("domain_canon_b"),
+    )
+
+
 def candidate_pairs(
     mentions: DataFrame,
     hot_threshold: int = 10_000,
     target_block_size: int = 5_000,
     use_lsh: bool = True,
     lsh_max_bucket: int = 50,
+    collapse_exact: bool = False,
+    dedupe: bool = True,
+    uniq: DataFrame = None,
 ) -> DataFrame:
     """→ (email_a, email_b, local_canon_a/b, domain_canon_a/b), each unordered
-    pair once. Union of the exact-domain-salted channel and the LSH channel."""
-    uniq = _unique_mentions(mentions)
+    pair once. Union of the exact-domain-salted channel and the LSH channel.
+
+    Scale switches (both used by the headline pipeline/bench; the oracle
+    paths keep the defaults so the full pair set stays SQL-replayable):
+      * collapse_exact — run the quadratic stages over one representative
+        per match_key instead of every distinct email; pair with
+        exact_match_edges() for the within-key guaranteed matches.
+      * dedupe=False — skip the full-pair-set dropDuplicates shuffle; the
+        few duplicated candidates (LSH multi-band + channel overlap) score
+        identically, and match_edges de-duplicates the far smaller edge
+        set instead."""
+    if collapse_exact:
+        uniq = match_key_representatives(mentions, uniq=uniq)
+    elif uniq is not None:
+        uniq = uniq.select("email", "local_canon", "domain_canon")
+    else:
+        uniq = _unique_mentions(mentions)
     blocked = with_salted_domain_block(uniq, hot_threshold, target_block_size)
 
     def self_join(df: DataFrame, key: list) -> DataFrame:
@@ -162,7 +281,25 @@ def candidate_pairs(
             )
         )
 
-    pairs = self_join(blocked.select("block_key", "email", "local_canon", "domain_canon"), ["block_key"])
+    # measured on this box: the collect_list + higher-order-function pair
+    # expansion (one shuffle) LOSES to the tungsten sort-merge self-join by
+    # ~3x — per-row array/struct allocation dominates. Kept available behind
+    # this switch for cluster-profile tuning; default off.
+    grouped = False
+
+    if grouped:
+        pairs = _grouped_pairs(
+            blocked.select("block_key", "email", "local_canon", "domain_canon"),
+            ["block_key"],
+            # memory guard only — salted buckets sit near target_block_size,
+            # unsalted blocks at ≤ hot_threshold; nothing legitimate exceeds this
+            max_members=max(hot_threshold, 16 * target_block_size),
+        )
+    else:
+        pairs = self_join(
+            blocked.select("block_key", "email", "local_canon", "domain_canon"),
+            ["block_key"],
+        )
 
     if use_lsh:
         with_bands = uniq.select(
@@ -178,18 +315,24 @@ def candidate_pairs(
         # prefix makes most pairs band-collide) and would regenerate the full
         # quadratic pair set; true near-duplicate groups are small. Standard
         # LSH-at-scale practice; the exact-domain channel keeps full recall on
-        # the blocking key regardless.
-        bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        bounded = with_bands.join(
-            bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
-            ["band_idx", "band_sig"],
-        )
-        # LSH pairs only gate the scorer; restrict to same canonical domain so
-        # the channel adds hard same-domain candidates without exploding into
-        # cross-domain noise (identity variants never change the domain).
-        lsh_pairs = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
+        # the blocking key regardless. LSH pairs only gate the scorer;
+        # restricting to same canonical domain keeps the channel to hard
+        # same-domain candidates (identity variants never change the domain).
+        if grouped:
+            lsh_pairs = _grouped_pairs(
+                with_bands,
+                ["band_idx", "band_sig", "domain_canon"],
+                max_members=lsh_max_bucket,
+            )
+        else:
+            bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
+                F.count(F.lit(1)).alias("_bn")
+            )
+            bounded = with_bands.join(
+                bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
+                ["band_idx", "band_sig"],
+            )
+            lsh_pairs = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
         pairs = pairs.unionByName(lsh_pairs)
 
-    return pairs.dropDuplicates(["email_a", "email_b"])
+    return pairs.dropDuplicates(["email_a", "email_b"]) if dedupe else pairs

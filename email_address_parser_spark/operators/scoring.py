@@ -149,7 +149,14 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
 
 
 def match_edges(scored: DataFrame, threshold: float = DEFAULT_THRESHOLD) -> DataFrame:
-    """F10: threshold filter → edges(src, dst, score)."""
-    return scored.where(F.col("score") >= F.lit(threshold)).select(
-        F.col("email_a").alias("src"), F.col("email_b").alias("dst"), "score"
+    """F10: threshold filter → edges(src, dst, score). Deduplicates AFTER
+    the threshold: when candidate generation skipped its pair-level
+    dropDuplicates (blocking.candidate_pairs(dedupe=False)), the duplicate
+    candidates score identically and this far smaller shuffle removes them."""
+    return (
+        scored.where(F.col("score") >= F.lit(threshold))
+        .select(
+            F.col("email_a").alias("src"), F.col("email_b").alias("dst"), "score"
+        )
+        .dropDuplicates(["src", "dst"])
     )

@@ -23,7 +23,7 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .operators.blocking import candidate_pairs
+from .operators.blocking import candidate_pairs, exact_match_edges
 from .operators.cc import connected_components
 from .operators.extract import extract_mentions, with_canonical
 from .operators.scoring import DEFAULT_THRESHOLD, match_edges, score_pairs
@@ -38,6 +38,11 @@ class PipelineConfig:
     use_lsh: bool = True
     resume: bool = True
     stage_partitions: Dict[str, int] = field(default_factory=dict)
+    # scale switches (see blocking.candidate_pairs): collapse exact-canonical
+    # duplicates to one representative before the quadratic stages, and defer
+    # pair dedup to the (much smaller) edge set
+    collapse_exact: bool = False
+    dedupe_pairs: bool = True
 
 
 class CheckpointManager:
@@ -112,16 +117,30 @@ def run_pipeline(
             hot_threshold=cfg.hot_threshold,
             target_block_size=cfg.target_block_size,
             use_lsh=cfg.use_lsh,
+            collapse_exact=cfg.collapse_exact,
+            dedupe=cfg.dedupe_pairs,
         ),
     )
     scored = ckpt.stage("scored", lambda: score_pairs(pairs))
     edges = ckpt.stage("edges", lambda: match_edges(scored, cfg.threshold))
-    clusters = ckpt.stage("clusters", lambda: cluster_mentions(mentions, edges))
+
+    if cfg.collapse_exact:
+        # within-key guaranteed matches never entered the scorer; their star
+        # edges skip the CC loop entirely (members inherit the root cluster)
+        stars = ckpt.stage("star_edges", lambda: exact_match_edges(mentions))
+        clusters = ckpt.stage(
+            "clusters", lambda: cluster_mentions_collapsed(mentions, edges, stars)
+        )
+        edges_out = edges.unionByName(stars)
+    else:
+        clusters = ckpt.stage("clusters", lambda: cluster_mentions(mentions, edges))
+        edges_out = edges
+
     return {
         "mentions": mentions,
         "pairs": pairs,
         "scored": scored,
-        "edges": edges,
+        "edges": edges_out,
         "clusters": clusters,
     }
 
@@ -139,4 +158,42 @@ def cluster_mentions(mentions: DataFrame, edges: DataFrame) -> DataFrame:
             "email",
             F.coalesce(F.col("cluster_id"), F.col("email")).alias("cluster_id"),
         )
+    )
+
+
+def cluster_mentions_collapsed(
+    mentions: DataFrame,
+    fuzzy_edges: DataFrame,
+    star_edges: DataFrame,
+    nodes: DataFrame = None,
+) -> DataFrame:
+    """Collapsed-path clustering: the iterative CC loop runs ONLY on the
+    rep↔rep fuzzy match graph (orders of magnitude smaller than the full
+    edge set); within-key members inherit their root's cluster with one
+    join. Correctness: every member is ≥ its root (root = min(email) of the
+    key), so min-of-component over reps IS min-of-component over all
+    emails — identical cluster ids to cluster_mentions(mentions,
+    fuzzy ∪ stars), which tests/test_collapse_exact.py asserts."""
+    if nodes is None:
+        nodes = (
+            mentions.where(F.col("valid_lax"))
+            .select("email")
+            .dropDuplicates(["email"])
+        )
+    else:
+        nodes = nodes.select("email")
+    rep_assign = connected_components(fuzzy_edges)
+    member_assign = (
+        star_edges.join(
+            rep_assign.withColumnRenamed("email", "src"), "src", "left"
+        )
+        .select(
+            F.col("dst").alias("email"),
+            F.coalesce(F.col("cluster_id"), F.col("src")).alias("cluster_id"),
+        )
+    )
+    assigned = rep_assign.unionByName(member_assign)
+    return nodes.join(assigned, "email", "left").select(
+        "email",
+        F.coalesce(F.col("cluster_id"), F.col("email")).alias("cluster_id"),
     )

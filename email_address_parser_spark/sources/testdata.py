@@ -115,3 +115,29 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         TRANSCRIPTS_CTE + "SELECT " + ", ".join(TRANSCRIPT_COLUMNS) + " FROM transcripts"
     )
+
+
+def replicate_transcripts(transcripts: DataFrame, factor: int) -> DataFrame:
+    """Deterministically scale the corpus ×factor with DISJOINT identity
+    spaces per replica (each replica rewrites the mention domains, so unique
+    entities, blocks, pairs, and clusters all grow ×factor — every pipeline
+    stage sees ×factor work, not just extraction). Used by the
+    two-parallelism scaling benchmark; all Catalyst expressions."""
+    from pyspark.sql import functions as F
+
+    rep = transcripts.select(
+        "*",
+        F.explode(F.sequence(F.lit(0), F.lit(factor - 1))).alias("_r"),
+    )
+    return rep.select(
+        F.concat_ws("#", F.col("conv_id"), F.col("_r")).alias("conv_id"),
+        "turn_idx",
+        "role",
+        F.regexp_replace(
+            F.col("text"),
+            F.lit(r"(?i)example\.com"),
+            F.concat(F.lit("example"), F.col("_r"), F.lit(".com")),
+        ).alias("text"),
+        "tool",
+        "ts",
+    )
