@@ -88,6 +88,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 candidate_pairs(m, hot_threshold=1 << 40)
             )))
         )(_mentions(spark, sf)),
+        # Display/round-trip invariant (SURVEY §1.4 / email_address.rs:312-316):
+        # for every valid mention the verbatim captures re-concatenate to the
+        # exact input slice — proves no trimming/unquoting/case-folding leaks
+        # into the parity columns.
+        "er_roundtrip": lambda spark, sf: (
+            _mentions(spark, sf)
+            .where(F.col("valid_lax"))
+            .select(
+                "conv_id",
+                "turn_idx",
+                "mention_idx",
+                (
+                    F.concat(F.col("local_part"), F.lit("@"), F.col("domain"))
+                    == F.col("raw")
+                ).alias("display_roundtrip"),
+                (F.col("email") == F.col("raw")).alias("email_eq_raw"),
+            )
+        ),
         "er_cluster_sizes": lambda spark, sf: (
             lambda m: cluster_mentions(m, match_edges(score_pairs(
                 candidate_pairs(m, hot_threshold=1 << 40)
@@ -400,6 +418,11 @@ def oracle_sql() -> dict[str, str]:
         "er_edges": _ORACLE_PAIRS
         + """SELECT email_a AS src, email_b AS dst, score FROM scored
              WHERE score >= 0.90""",
+        "er_roundtrip": MENTIONS_EXPECTED_CTE
+        + """SELECT conv_id, turn_idx, mention_idx,
+                concat(local_part, '@', domain) = raw AS display_roundtrip,
+                email = raw AS email_eq_raw
+             FROM mentions_expected WHERE valid_lax""",
         "er_clusters": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members

@@ -80,12 +80,32 @@ class CheckpointManager:
             .orderBy("partition_id")
             .collect()
         )
+        # per-stage counters (F12): verdict totals for mention-shaped stages,
+        # score stats for edge-shaped stages — one aggregate over the
+        # just-written table, recorded next to the per-partition lineage
+        counters = {}
+        cols = set(persisted.columns)
+        aggs = []
+        if {"valid_strict", "valid_lax"} <= cols:
+            aggs += [
+                F.sum(F.col("valid_strict").cast("long")).alias("n_valid_strict"),
+                F.sum(F.col("valid_lax").cast("long")).alias("n_valid_lax"),
+            ]
+        if "score" in cols:
+            aggs += [
+                F.min("score").alias("min_score"),
+                F.max("score").alias("max_score"),
+            ]
+        if aggs:
+            row = persisted.agg(*aggs).collect()[0]
+            counters = {k: (None if row[k] is None else float(row[k])) for k in row.asDict()}
         manifest.write_text(
             json.dumps(
                 {
                     "stage": stage,
                     "rows": sum(r["count"] for r in partition_hist),
                     "partitions": {str(r["partition_id"]): r["count"] for r in partition_hist},
+                    "counters": counters,
                     "schema": persisted.schema.jsonValue(),
                 },
                 indent=2,
