@@ -133,6 +133,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline: similarity search (embeddings) --------
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,  # ANN scale path: rows-only check
+        "ann_topk_ivf": _ann_topk_ivf,  # IVF scale path: rows-only check
         "emb_near_dup": _emb_near_dup,
         # --- training-data pipeline: multimodal plumbing -------------------
         "mm_features": _mm_features,
@@ -221,6 +222,15 @@ def _ann_topk_lsh(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.similarity import lsh_topk
 
     return lsh_topk(load_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10)
+
+
+def _ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.similarity import ivf_topk
+
+    return ivf_topk(
+        load_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10,
+        n_centroids=16, n_probe=4,
+    )
 
 
 def _emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
