@@ -56,8 +56,18 @@ def main() -> None:
     sf_match = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(sf_match.group(1)) if sf_match else -1.0
 
+    os.makedirs("/dev/shm/spark-local", exist_ok=True)
     spark = build_session(
-        app_name=f"bench-local{cpus}", cores=cpus, shuffle_partitions=max(2 * cpus, 16)
+        app_name=f"bench-local{cpus}",
+        cores=cpus,
+        shuffle_partitions=max(2 * cpus, 16),
+        extra_conf={
+            # same tuning as scale_bench.py: keep AQE from under-parallelizing
+            # CPU-bound stages, shuffle on tmpfs (sandbox disk serializes
+            # concurrent writers)
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16m",
+            "spark.local.dir": "/dev/shm/spark-local",
+        },
     )
 
     transcripts = derive_transcripts(spark, sf_dir).persist()

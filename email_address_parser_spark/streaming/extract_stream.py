@@ -88,6 +88,96 @@ def windowed_domain_counts(
     )
 
 
+def conversation_state_counts(
+    mentions: DataFrame,
+    timeout_minutes: int = None,
+) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-conversation
+    running totals of mentions / valid mentions / distinct domains, emitted
+    as an update row per micro-batch that touches the conversation.
+
+    timeout_minutes: on a continuous deployment pass an inactivity timeout —
+    state for quiet conversations is evicted (bounded state, the requirement
+    for an unbounded 10^12-turn stream). Leave None for availableNow /
+    drain-style runs: with a ProcessingTimeTimeout pending, an availableNow
+    trigger keeps firing empty "cleaning up state" micro-batches until the
+    timeout elapses and never terminates.
+
+    This is the pattern for ER-adjacent streaming accumulators that
+    windowed aggregation can't express (distinct-set state carried across
+    windows, per-key custom eviction)."""
+    import pandas as pd  # noqa: F401 (used by the worker closure)
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import (
+        IntegerType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    state_schema = StructType(
+        [
+            StructField("n_mentions", LongType()),
+            StructField("n_valid", LongType()),
+            StructField("domains", StringType()),  # '\x1f'-joined distinct set
+        ]
+    )
+    output_schema = StructType(
+        [
+            StructField("conv_id", StringType()),
+            StructField("n_mentions", LongType()),
+            StructField("n_valid", LongType()),
+            StructField("n_distinct_domains", IntegerType()),
+        ]
+    )
+
+    def update(key, pdfs, state: GroupState):
+        import pandas as pd
+
+        (conv_id,) = key
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n_mentions, n_valid, domains = 0, 0, set()
+        if state.exists:
+            n_mentions, n_valid, joined = state.get
+            domains = set(joined.split("\x1f")) if joined else set()
+        for pdf in pdfs:
+            n_mentions += len(pdf)
+            n_valid += int(pdf["valid_lax"].fillna(False).sum())
+            domains |= set(pdf.loc[pdf["valid_lax"].fillna(False), "domain_canon"].dropna())
+        state.update((n_mentions, n_valid, "\x1f".join(sorted(domains))))
+        if timeout_minutes is not None:
+            state.setTimeoutDuration(timeout_minutes * 60 * 1000)
+        yield pd.DataFrame(
+            [
+                {
+                    "conv_id": conv_id,
+                    "n_mentions": n_mentions,
+                    "n_valid": n_valid,
+                    "n_distinct_domains": len(domains),
+                }
+            ]
+        )
+
+    return (
+        mentions.select("conv_id", "valid_lax", "domain_canon")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=output_schema,
+            stateStructType=state_schema,
+            outputMode="update",
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if timeout_minutes is not None
+                else GroupStateTimeout.NoTimeout
+            ),
+        )
+    )
+
+
 def run_once_to_memory(
     stream_df: DataFrame, query_name: str, output_mode: str = "append"
 ) -> None:

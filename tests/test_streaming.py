@@ -78,3 +78,29 @@ def test_windowed_domain_counts(spark, tmp_path):
     assert by_key[(10, "other.org")] == 1
     # 12:00 window: the late alice mention
     assert by_key[(12, "example.com")] == 1
+
+
+def test_conversation_state_counts(spark, tmp_path):
+    from email_address_parser_spark.streaming.extract_stream import (
+        conversation_state_counts,
+        read_transcript_stream,
+        run_once_to_memory,
+        stream_mentions,
+    )
+
+    _write_transcripts(spark, tmp_path)
+    stream = read_transcript_stream(spark, f"{tmp_path}/p1")
+    stateful = conversation_state_counts(stream_mentions(stream))
+    run_once_to_memory(stateful, "conv_state", output_mode="update")
+    rows = spark.sql(
+        "SELECT conv_id, n_mentions, n_valid, n_distinct_domains FROM conv_state"
+    ).collect()
+    # update mode: keep the LAST emitted row per conversation
+    final = {}
+    for r in rows:
+        final[r.conv_id] = r
+    # c1: alice + bob + quoted (all valid, 2 domains); c2: late alice only
+    assert final["c1"].n_mentions == 3
+    assert final["c1"].n_valid == 3
+    assert final["c1"].n_distinct_domains == 2
+    assert final["c2"].n_valid == 1
