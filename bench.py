@@ -30,10 +30,9 @@ from email_address_parser_spark.operators.blocking import (
     exact_match_edges,
     uniq_valid_mentions,
 )
-from email_address_parser_spark.operators.cc import connected_components
 from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
 from email_address_parser_spark.operators.scoring import match_edges, score_pairs
-from email_address_parser_spark.pipeline import cluster_mentions, cluster_mentions_collapsed
+from email_address_parser_spark.pipeline import cluster_mentions_collapsed
 from email_address_parser_spark.session import build_session
 from email_address_parser_spark.sources.testdata import derive_transcripts
 

@@ -32,8 +32,6 @@ def test_collapsed_path_matches_full_path(spark, corpus):
 
 
 def test_exact_match_edges_are_stars(spark, corpus):
-    from pyspark.sql import functions as F
-
     from email_address_parser_spark.operators.blocking import exact_match_edges
     from email_address_parser_spark.operators.extract import (
         extract_mentions,

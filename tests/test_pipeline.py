@@ -5,7 +5,6 @@ from __future__ import annotations
 import json
 
 import duckdb
-import pandas as pd
 import pytest
 
 from email_address_parser_spark.operators.scoring import jaro_winkler_similarity

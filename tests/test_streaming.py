@@ -5,7 +5,6 @@ from __future__ import annotations
 
 import datetime
 
-import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 

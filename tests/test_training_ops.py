@@ -7,9 +7,7 @@ driver's DuckDB oracles (which cover the exact-SQL-expressible subset)."""
 
 from __future__ import annotations
 
-import pytest
 from pyspark.sql import Row
-from pyspark.sql import functions as F
 
 # ---------------------------------------------------------------------------
 # text analysis
