@@ -1,0 +1,57 @@
+"""SQL surface: register the engine's tables as temp views so users can
+query them with plain `spark.sql(...)` — the DataFrame API and SQL are the
+same Catalyst plans, so everything (pushdown, broadcast, AQE) applies
+unchanged.
+
+    from email_address_parser_spark.sql_views import register_er_views
+    register_er_views(spark, "/root/testdata/sf0.001")
+    spark.sql('''
+        SELECT domain_canon, count(*) AS n
+        FROM er_mentions WHERE valid_lax GROUP BY domain_canon
+    ''')
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from .operators.blocking import exact_match_edges, uniq_valid_mentions
+from .operators.extract import extract_mentions, with_canonical
+from .sources.testdata import TABLES, derive_transcripts, register_views
+
+
+def register_er_views(
+    spark: SparkSession, sf_dir: str, with_clusters: bool = False
+) -> list:
+    """Register the raw testdata tables plus the ER views:
+
+      er_transcripts — input_hint-shaped turns
+      er_mentions    — extracted + parsed + canonicalized mentions
+      er_uniq        — distinct valid emails with canonical columns
+      er_star_edges  — exact-canonical guaranteed-match star edges
+      er_clusters    — (optional, runs the full pipeline) email → cluster_id
+    """
+    register_views(spark, sf_dir, tables=TABLES)
+    transcripts = derive_transcripts(spark, sf_dir)
+    transcripts.createOrReplaceTempView("er_transcripts")
+    mentions = with_canonical(extract_mentions(transcripts))
+    mentions.createOrReplaceTempView("er_mentions")
+    uniq = uniq_valid_mentions(mentions)
+    uniq.createOrReplaceTempView("er_uniq")
+    exact_match_edges(mentions, uniq=uniq).createOrReplaceTempView("er_star_edges")
+    views = ["er_transcripts", "er_mentions", "er_uniq", "er_star_edges"]
+    if with_clusters:
+        from .operators.blocking import candidate_pairs
+        from .operators.scoring import match_edges, score_pairs
+        from .pipeline import cluster_mentions_collapsed
+
+        pairs = candidate_pairs(
+            mentions, hot_threshold=200, target_block_size=64,
+            collapse_exact=True, dedupe=False, uniq=uniq,
+        )
+        fuzzy = match_edges(score_pairs(pairs))
+        cluster_mentions_collapsed(
+            mentions, fuzzy, exact_match_edges(mentions, uniq=uniq), nodes=uniq
+        ).createOrReplaceTempView("er_clusters")
+        views.append("er_clusters")
+    return views

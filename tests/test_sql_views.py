@@ -1,0 +1,30 @@
+"""The SQL surface must agree with the DataFrame surface (same plans)."""
+
+from __future__ import annotations
+
+
+def test_sql_views_agree_with_dataframes(spark):
+    from email_address_parser_spark.sql_views import register_er_views
+
+    views = register_er_views(spark, "/root/testdata/sf0.001", with_clusters=True)
+    assert "er_clusters" in views
+
+    by_domain = spark.sql(
+        """SELECT domain_canon, count(*) AS n
+           FROM er_mentions WHERE valid_lax
+           GROUP BY domain_canon ORDER BY domain_canon"""
+    ).collect()
+    assert len(by_domain) == 5  # five market segments -> five domains
+    assert all(r.n > 0 for r in by_domain)
+
+    joined = spark.sql(
+        """SELECT count(*) AS n FROM er_clusters c
+           JOIN er_uniq u ON c.email = u.email"""
+    ).collect()[0].n
+    n_uniq = spark.sql("SELECT count(*) AS n FROM er_uniq").collect()[0].n
+    assert joined == n_uniq  # every distinct valid email is clustered
+
+    stars = spark.sql(
+        "SELECT count(*) AS n FROM er_star_edges WHERE src >= dst"
+    ).collect()[0].n
+    assert stars == 0  # root is always the minimum of its group
