@@ -21,6 +21,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from email_address_parser_spark import oracles as _oracles
 from email_address_parser_spark.operators.blocking import candidate_pairs
 from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
 from email_address_parser_spark.operators.scoring import match_edges, score_pairs
@@ -113,6 +114,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )(_mentions(spark, sf))
         .groupBy("cluster_id")
         .agg(F.count(F.lit(1)).alias("n_members")),
+        # pairwise precision/recall/F1 of the match decision against the
+        # generative ground truth (match_key equality) — the BASELINE.json
+        # acceptance metric as an oracle-checked driver query
+        "er_match_f1": _er_match_f1,
+        # F14 regression diffing vs golden: exceptAll both ways + intersect
+        # between the engine's clustering and the match_key clustering
+        "er_clusters_diff_golden": _er_clusters_diff_golden,
         # --- generic relational operators (F4, F8, F12-F14) ----------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -128,18 +136,102 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
-        "dedup_minhash": _dedup_minhash,  # LSH candidates: rows-only check
-        "dedup_simhash": _dedup_simhash,  # engine-specific hash: rows-only
+        "dedup_minhash": _dedup_minhash,  # oracle: SQL replay of the LSH kernel
+        "dedup_simhash": _dedup_simhash,  # oracle: exact hamming-ball self-join
         # --- training-data pipeline: similarity search (embeddings) --------
         "ann_topk": _ann_topk,
-        "ann_topk_lsh": _ann_topk_lsh,  # ANN scale path: rows-only check
-        "ann_topk_ivf": _ann_topk_ivf,  # IVF scale path: rows-only check
+        "ann_topk_lsh": _ann_topk_lsh,  # oracle: hyperplane-sig SQL replay
+        "ann_topk_ivf": _ann_topk_ivf,  # oracle: quantizer SQL replay
         "emb_near_dup": _emb_near_dup,
         # --- training-data pipeline: multimodal plumbing -------------------
         "mm_features": _mm_features,
         "mm_metadata": _mm_metadata,
         "mm_frames": _mm_frames,
     }
+
+
+# ---------------------------------------------------------------------------
+# entity-resolution metric / diff queries
+# ---------------------------------------------------------------------------
+
+
+def _er_match_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """One row: (tp, fp, fn, precision, recall, f1) of `score >= 0.90` as a
+    predictor of match_key equality over the candidate pairs. All float
+    expressions are single divisions/products (no sum-order sensitivity), so
+    the DuckDB twin reproduces them bit-for-bit."""
+    m = _mentions(spark, sf)
+    scored = score_pairs(candidate_pairs(m, hot_threshold=1 << 40))
+    uniq = (
+        m.where(F.col("valid_lax"))
+        .select("email", "match_key")
+        .dropDuplicates(["email"])
+    )
+    j = (
+        scored.join(
+            uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+            "email_a",
+        ).join(
+            uniq.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+            "email_b",
+        )
+    )
+    pred = F.col("score") >= F.lit(0.90)
+    truth = F.col("mk_a") == F.col("mk_b")
+    agg = j.agg(
+        F.sum((pred & truth).cast("long")).alias("tp"),
+        F.sum((pred & ~truth).cast("long")).alias("fp"),
+        F.sum((~pred & truth).cast("long")).alias("fn"),
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return (
+        agg.withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+def _er_clusters_diff_golden(spark: SparkSession, sf: str) -> DataFrame:
+    """F14 set operators as a golden-diff: the engine's clustering vs the
+    match_key clustering (min email per key). One row:
+    (n_only_engine, n_only_golden, n_common) via exceptAll / exceptAll /
+    intersect. All three should be (0, 0, |distinct emails|) — the oracle
+    asserts exactly that, so any clustering regression fails the hash gate."""
+    m = _mentions(spark, sf)
+    engine = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    uniq = (
+        m.where(F.col("valid_lax"))
+        .select("email", "match_key")
+        .dropDuplicates(["email"])
+    )
+    golden = uniq.join(
+        uniq.groupBy("match_key").agg(F.min("email").alias("cluster_id")),
+        "match_key",
+    ).select("email", "cluster_id")
+    only_engine = engine.exceptAll(golden).agg(
+        F.count(F.lit(1)).alias("n_only_engine")
+    )
+    only_golden = golden.exceptAll(engine).agg(
+        F.count(F.lit(1)).alias("n_only_golden")
+    )
+    common = engine.intersect(golden).agg(F.count(F.lit(1)).alias("n_common"))
+    return only_engine.crossJoin(only_golden).crossJoin(common)
 
 
 # ---------------------------------------------------------------------------
@@ -204,7 +296,12 @@ def _dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
 def _dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.dedup import simhash_near_dup
 
-    return simhash_near_dup(_docs(spark, sf), max_hamming=16)
+    # max_hamming=3: the radius the 4×16 banding is recall-COMPLETE for
+    # (pigeonhole), making the result the exact hamming-ball pair set — which
+    # is what the full-self-join DuckDB oracle checks. max_bucket is the
+    # scale-path guard; 10k is non-binding at test scale (≤5k docs), so the
+    # exactness contract holds while the plan keeps the cap operator.
+    return simhash_near_dup(_docs(spark, sf), max_hamming=3, max_bucket=10_000)
 
 
 ANN_QUERY_IDS = list(range(10))
@@ -373,18 +470,19 @@ def _events_daily(spark: SparkSession, sf: str) -> DataFrame:
 
 _ORACLE_PAIRS = MENTIONS_EXPECTED_CTE + """,
 uniq AS (
-    SELECT DISTINCT email, local_canon, domain_canon
+    SELECT DISTINCT email, local_canon, domain_canon, match_key
     FROM mentions_expected WHERE valid_lax
 ),
 pairs AS (
     SELECT a.email AS email_a, b.email AS email_b,
            a.local_canon AS local_canon_a, b.local_canon AS local_canon_b,
-           a.domain_canon AS domain_canon_a, b.domain_canon AS domain_canon_b
+           a.domain_canon AS domain_canon_a, b.domain_canon AS domain_canon_b,
+           a.match_key AS mk_a, b.match_key AS mk_b
     FROM uniq a JOIN uniq b
       ON a.domain_canon = b.domain_canon AND a.email < b.email
 ),
 features AS (
-    SELECT email_a, email_b,
+    SELECT email_a, email_b, mk_a, mk_b,
         jaro_winkler_similarity(local_canon_a, local_canon_b) AS jw_local,
         CAST(levenshtein(local_canon_a, local_canon_b) AS INT) AS lev_local,
         CAST(levenshtein(domain_canon_a, domain_canon_b) AS INT) AS dom_edit,
@@ -395,7 +493,7 @@ features AS (
     FROM pairs
 ),
 scored AS (
-    SELECT email_a, email_b, jw_local, lev_local, dom_edit, dotless_eq,
+    SELECT email_a, email_b, mk_a, mk_b, jw_local, lev_local, dom_edit, dotless_eq,
         round(0.35 * jw_local + 0.20 * (1.0 - lev_local / _mll)
               + 0.25 * (1.0 - dom_edit / _mdl) + 0.20 * dotless_eq, 6) AS score
     FROM features
@@ -437,6 +535,34 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",
+        "er_match_f1": _ORACLE_PAIRS
+        + """,
+        agg AS (
+            SELECT
+                CAST(sum(CASE WHEN score >= 0.90 AND mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN score >= 0.90 AND mk_a <> mk_b THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN score < 0.90 AND mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM scored
+        ),
+        pr AS (
+            SELECT tp, fp, fn,
+                tp / CAST(greatest(tp + fp, 1) AS DOUBLE) AS _p,
+                tp / CAST(greatest(tp + fn, 1) AS DOUBLE) AS _r
+            FROM agg
+        )
+        SELECT tp, fp, fn,
+            round(_p, 6) AS precision, round(_r, 6) AS recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS f1
+        FROM pr""",
+        # golden-diff invariant: engine clustering ≡ match_key clustering,
+        # so both exceptAll legs are empty and the intersection is every
+        # distinct valid email
+        "er_clusters_diff_golden": _ORACLE_CLUSTERS
+        + """SELECT CAST(0 AS BIGINT) AS n_only_engine,
+                    CAST(0 AS BIGINT) AS n_only_golden,
+                    CAST(count(*) AS BIGINT) AS n_common
+             FROM clusters""",
         "q1_pricing_summary": """
             SELECT l_returnflag, l_linestatus,
                 CAST(sum(CAST(floor(l_quantity * 10000) AS BIGINT)) AS BIGINT) AS sum_qty_e4,
@@ -587,6 +713,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
             )
             SELECT * FROM p WHERE jaccard >= 0.05""",
+        # engine-hash replay oracles (see email_address_parser_spark/oracles.py):
+        # the fixed-seed minhash/simhash/hyperplane kernels re-computed in pure
+        # DuckDB SQL from the same Python constants
+        "dedup_minhash": _oracles.dedup_minhash_oracle(threshold=0.2, max_bucket=64),
+        "dedup_simhash": _oracles.dedup_simhash_oracle(max_hamming=3),
+        "ann_topk_lsh": _oracles.ann_topk_lsh_oracle(ANN_QUERY_IDS, k=10),
+        "ann_topk_ivf": _oracles.ann_topk_ivf_oracle(
+            ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4
+        ),
         "ann_topk": r"""
             WITH n AS (
                 SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm

@@ -23,7 +23,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from ..kernel.grammar import EMAIL_LAX_PATTERN, EMAIL_STRICT_PATTERN
+from ..kernel.grammar import (
+    EMAIL_LAX_PATTERN,
+    EMAIL_STRICT_PATTERN,
+    deep_patterns,
+    paren_depth_bound,
+)
 
 # \A/\Z anchors (NOT ^/$: '$' would accept a trailing newline, which the
 # all_consuming parser rejects)
@@ -72,6 +77,28 @@ def parse_batch(values: pd.Series) -> pd.DataFrame:
         local.loc[misses] = lax["local"]
         domain.loc[misses] = lax["domain"]
 
+    # comment nesting beyond the default patterns' bound: candidates that
+    # failed BOTH grammars but contain >= 2 '(' retry against the depth-128
+    # patterns (Rust parity, nom_parser.rs:9,425-450). Scalar loop over a
+    # residual set that is empty on real corpora.
+    resid = values.notna() & ~valid_lax.fillna(False).astype(bool)
+    if resid.any():
+        cand = values[resid & (values.str.count(r"\(") >= 2)]
+        if len(cand):
+            for ix, s in cand.items():
+                deep_strict, deep_lax = deep_patterns(paren_depth_bound(s))
+                m = deep_strict.fullmatch(s)
+                if m is not None:
+                    valid_strict.loc[ix] = True
+                    valid_lax.loc[ix] = True
+                else:
+                    m = deep_lax.fullmatch(s)
+                    if m is not None:
+                        valid_lax.loc[ix] = True
+                if m is not None:
+                    local.loc[ix] = m.group("local")
+                    domain.loc[ix] = m.group("domain")
+
     return pd.DataFrame(
         {
             "local_part": local,
@@ -87,9 +114,27 @@ def parse_email_udf(values: pd.Series) -> pd.DataFrame:
     return parse_batch(values)
 
 
+def _deep_retry(v: pd.Series, ok: pd.Series, lax: bool) -> pd.Series:
+    """Apply the depth-128 grammar to residual misses with >= 2 '('."""
+    resid = ~ok.fillna(False).astype(bool) & v.notna()
+    if resid.any():
+        cand = v[resid & (v.str.count(r"\(") >= 2)]
+        if len(cand):
+            for ix, s in cand.items():
+                deep_strict, deep_lax = deep_patterns(paren_depth_bound(s))
+                hit = deep_strict.fullmatch(s) is not None or (
+                    lax and deep_lax.fullmatch(s) is not None
+                )
+                if hit:
+                    ok.loc[ix] = True
+    return ok
+
+
 @pandas_udf(BooleanType())
 def is_valid_strict_udf(values: pd.Series) -> pd.Series:
-    return values.astype("string").str.fullmatch(_STRICT_ANCHORED).fillna(False).astype(bool)
+    v = values.astype("string")
+    ok = v.str.fullmatch(_STRICT_ANCHORED)
+    return _deep_retry(v, ok, lax=False).fillna(False).astype(bool)
 
 
 @pandas_udf(BooleanType())
@@ -99,7 +144,7 @@ def is_valid_lax_udf(values: pd.Series) -> pd.Series:
     misses = ~ok.fillna(False) & v.notna()
     if misses.any():
         ok.loc[misses] = v[misses].str.fullmatch(_LAX_ANCHORED)
-    return ok.fillna(False).astype(bool)
+    return _deep_retry(v, ok, lax=True).fillna(False).astype(bool)
 
 
 def extract_candidates(text: str) -> list:

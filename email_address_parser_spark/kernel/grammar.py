@@ -151,6 +151,76 @@ DOMAIN_STRICT_RE = re.compile(DOMAIN_STRICT)
 DOMAIN_LAX_RE = re.compile(DOMAIN_OBS)
 
 
+# --- deep comment nesting (Rust parity beyond the corpus) ------------------------
+#
+# The Rust parser accepts comments nested to depth 128 (nom_parser.rs:9,425-450);
+# the corpus only exercises depth <= 2, which the default COMMENT covers (and the
+# default also matches the TS regex twin, index.ts:20). For the rare candidate
+# that *might* contain deeper nesting (cheap gate: >= 2 '(' characters), the
+# parser retries with a depth-128 pattern built recursively below.
+#
+# Deterministic + possessive: inside a comment, the next token is uniquely
+# determined by its first character (')' close, '(' nested comment, WSP/CRLF
+# whitespace, anything else ctext/quoted-pair), so possessive quantifiers
+# ((?:...)*+ — Python 3.11+) preserve the language while making matching
+# linear: no backtracking blowup even on adversarial unclosed 128-deep input.
+
+MAX_COMMENT_DEPTH = 128
+
+_FWS_P = r"(?:\r\n)?[ \t](?:[ \t]|\r\n[ \t])*+"
+_FWS_OPT_P = f"(?:{_FWS_P})?+"
+
+
+def _comment_pattern(depth: int) -> str:
+    inner = f"(?:{_FWS_OPT_P}{_CCONTENT_FLAT})*+{_FWS_OPT_P}"
+    pat = f"\\({inner}\\)"
+    for _ in range(depth - 1):
+        pat = f"\\((?:{_FWS_OPT_P}(?:{_CCONTENT_FLAT}|{pat}))*+{_FWS_OPT_P}\\)"
+    return pat
+
+
+_DEEP_CACHE: dict = {}
+_DEPTH_BUCKETS = (4, 16, 64, MAX_COMMENT_DEPTH)
+
+
+def paren_depth_bound(value: str) -> int:
+    """Upper bound on comment nesting depth: the max running excess of '('
+    over ')' (one linear scan; actual grammar depth can only be lower)."""
+    depth = best = 0
+    for ch in value:
+        if ch == "(":
+            depth += 1
+            if depth > best:
+                best = depth
+        elif ch == ")" and depth > 0:
+            depth -= 1
+    return best
+
+
+def deep_patterns(depth_needed: int) -> tuple:
+    """(strict_re, lax_re) whose comments nest to the smallest bucket
+    >= depth_needed (capped at MAX_COMMENT_DEPTH — deeper input is invalid
+    under the bucket pattern exactly as under the Rust parser's cap).
+    Compiled lazily and cached per bucket: the common deep case (depth 3-4)
+    compiles a small pattern in ~70 ms once per interpreter; the full
+    128-deep pattern is only ever built for inputs that really nest > 64."""
+    bucket = next(
+        (b for b in _DEPTH_BUCKETS if b >= depth_needed), MAX_COMMENT_DEPTH
+    )
+    if bucket not in _DEEP_CACHE:
+        deep = _comment_pattern(bucket)
+        strict = EMAIL_STRICT_PATTERN.replace(COMMENT, deep)
+        lax = EMAIL_LAX_PATTERN.replace(COMMENT, deep)
+        _DEEP_CACHE[bucket] = (re.compile(strict), re.compile(lax))
+    return _DEEP_CACHE[bucket]
+
+
+def maybe_deep_comment(value: str) -> bool:
+    """Cheap gate for the deep-comment retry: any nesting beyond what the
+    default COMMENT accepts requires at least two '(' in the input."""
+    return value.count("(") >= 2
+
+
 def duckdb_email_regex(lax: bool = False) -> str:
     """The same anchored grammar as an RE2-compatible pattern for DuckDB oracles.
 

@@ -21,7 +21,13 @@ from __future__ import annotations
 
 from typing import Optional, Tuple
 
-from .grammar import EMAIL_LAX_RE, EMAIL_STRICT_RE
+from .grammar import (
+    EMAIL_LAX_RE,
+    EMAIL_STRICT_RE,
+    deep_patterns,
+    maybe_deep_comment,
+    paren_depth_bound,
+)
 
 
 def parse_email(value: str, is_lax: bool = False) -> Optional[Tuple[str, str]]:
@@ -29,13 +35,20 @@ def parse_email(value: str, is_lax: bool = False) -> Optional[Tuple[str, str]]:
 
     Strict grammar first; the lax (obsolete-syntax) grammar only runs when the
     strict attempt fails and ``is_lax`` is set — same control flow as the
-    reference's parse_address (nom_parser.rs:12-22).
-    """
+    reference's parse_address (nom_parser.rs:12-22). Candidates that might
+    contain comments nested deeper than the default pattern's bound retry
+    with the depth-128 grammar (Rust parity, nom_parser.rs:9,425-450)."""
     if value is None:
         return None
     m = EMAIL_STRICT_RE.fullmatch(value)
+    deep = None
+    if m is None and maybe_deep_comment(value):
+        deep = deep_patterns(paren_depth_bound(value))
+        m = deep[0].fullmatch(value)
     if m is None and is_lax:
         m = EMAIL_LAX_RE.fullmatch(value)
+        if m is None and deep is not None:
+            m = deep[1].fullmatch(value)
     if m is None:
         return None
     return m.group("local"), m.group("domain")
@@ -43,11 +56,7 @@ def parse_email(value: str, is_lax: bool = False) -> Optional[Tuple[str, str]]:
 
 def is_valid_email(value: str, is_lax: bool = False) -> bool:
     """Boolean verdict without capture materialization (email_address.rs:177-179)."""
-    if value is None:
-        return False
-    if EMAIL_STRICT_RE.fullmatch(value) is not None:
-        return True
-    return bool(is_lax and EMAIL_LAX_RE.fullmatch(value) is not None)
+    return parse_email(value, is_lax) is not None
 
 
 class ParsingOptions:

@@ -28,59 +28,126 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 # --- minhash parameters (fixed seeds — determinism is a hard requirement) ------
+#
+# Hash design constraints (in priority order):
+#   1. vectorizable: one numpy pass per Arrow batch, zero per-row Python in the
+#      hot path (np.frombuffer code-point view + sliding-window polynomial +
+#      np.minimum.reduceat over per-row gram segments);
+#   2. SQL-replayable: every operation is exact int64 arithmetic that DuckDB
+#      evaluates identically (products bounded < 2^62; 31-bit AND masks
+#      instead of division), so the dedup_minhash oracle can replay
+#      signatures → bands → bucket join → exact Jaccard verification
+#      bit-for-bit;
+#   3. deterministic across runs/processes (fixed RandomState seed, no
+#      Python hash()).
 
 N_HASHES = 32
 N_BANDS = 8
 ROWS_PER_BAND = N_HASHES // N_BANDS
-_MERSENNE = (1 << 61) - 1
-_rng = np.random.RandomState(0xE5EED)
-_A = _rng.randint(1, _MERSENNE, size=N_HASHES, dtype=np.int64)
-_B = _rng.randint(0, _MERSENNE, size=N_HASHES, dtype=np.int64)
+_P_GRAM = 65599          # gram polynomial base (code points < 2^21 ⇒ products < 2^56)
+M31 = (1 << 31) - 1      # 31-bit mask (x & M31 ≡ x mod 2^31): no int64 division
+_BAND_MULT = 1_000_003   # band fold multiplier (acc*mult < 2^51)
 _SHINGLE = 3
+_rng = np.random.RandomState(0xE5EED)
+# affine-mod-2^31 permutations: h ↦ (a*h + b) & M31 with a forced ODD is a
+# bijection on [0, 2^31) (odd a is invertible mod 2^31) — a genuine random
+# permutation family for the min-hash, with a 31-bit AND instead of an int64
+# division. Products < 2^62 — exact on both numpy and DuckDB.
+MINHASH_A = (_rng.randint(1, M31, size=N_HASHES).astype(np.int64) | 1)
+MINHASH_B = _rng.randint(0, M31, size=N_HASHES).astype(np.int64)
 
 
-def _shingle_hashes(s: str) -> np.ndarray:
-    """Stable 64-bit-ish hashes of the char 3-grams of s (FNV-1a, not Python
-    hash() which is salted per process)."""
-    if len(s) < _SHINGLE:
-        grams = [s]
-    else:
-        grams = [s[i : i + _SHINGLE] for i in range(len(s) - _SHINGLE + 1)]
-    out = np.empty(len(grams), dtype=np.int64)
-    for i, g in enumerate(grams):
-        h = np.int64(-3750763034362895579)  # FNV-1a 64 offset basis (as signed)
-        for b in g.encode("utf-8"):
-            h = np.int64((int(h) ^ b) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
-        out[i] = h
+def _gram_hash_str(s: str) -> int:
+    """Polynomial hash of one (whole) short string — the <3-char fallback."""
+    h = 0
+    for ch in s:
+        h = (h * _P_GRAM + ord(ch)) & M31
+    return h
+
+
+def minhash_signatures_batch(strings: list) -> np.ndarray:
+    """(n, N_HASHES) int64 minhash signatures for a batch of strings.
+
+    Fully vectorized: the batch is concatenated once, viewed as a code-point
+    array (utf-32-le frombuffer), the 3-gram polynomial hashes are one sliding
+    -window expression over the whole batch, and the per-row minima under each
+    affine permutation are np.minimum.reduceat over row segments. Strings
+    shorter than the shingle width hash as a single whole-string gram
+    (per-row fallback; rare)."""
+    n = len(strings)
+    sigs = np.empty((n, N_HASHES), dtype=np.int64)
+    if n == 0:
+        return sigs
+    lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    big = "".join(strings)
+    cp = np.frombuffer(big.encode("utf-32-le"), dtype=np.uint32).astype(np.int64)
+    offs = np.concatenate(([0], np.cumsum(lens)))
+    total = len(cp)
+    g = (
+        ((cp[:-2] * _P_GRAM + cp[1:-1]) * _P_GRAM + cp[2:]) & M31
+        if total >= 3
+        else np.empty(0, dtype=np.int64)
+    )
+    long_rows = np.nonzero(lens >= _SHINGLE)[0]
+    if len(long_rows):
+        counts = lens[long_rows] - (_SHINGLE - 1)
+        mark = np.zeros(len(g) + 1, dtype=np.int64)
+        np.add.at(mark, offs[long_rows], 1)
+        np.add.at(mark, offs[long_rows] + counts, -1)
+        valid = np.cumsum(mark[:-1]) > 0
+        gv = g[valid]
+        seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
+        for k in range(N_HASHES):
+            vals = (MINHASH_A[k] * gv + MINHASH_B[k]) & M31
+            sigs[long_rows, k] = np.minimum.reduceat(vals, seg)
+    for i in np.nonzero(lens < _SHINGLE)[0]:
+        h = _gram_hash_str(strings[i])
+        sigs[i, :] = (MINHASH_A * h + MINHASH_B) & M31
+    return sigs
+
+
+def minhash_band_sigs(sigs: np.ndarray) -> np.ndarray:
+    """(n, N_BANDS) band keys: polynomial fold of each band's ROWS_PER_BAND
+    consecutive signature values, masked to 31 bits (exact in int64 and in
+    DuckDB)."""
+    n = sigs.shape[0]
+    out = np.empty((n, N_BANDS), dtype=np.int64)
+    for b in range(N_BANDS):
+        acc = np.zeros(n, dtype=np.int64)
+        for r in range(ROWS_PER_BAND):
+            acc = (acc * _BAND_MULT + sigs[:, b * ROWS_PER_BAND + r]) & M31
+        out[:, b] = acc
     return out
 
 
 def minhash_signature(s: str) -> list:
-    """k min-hash values of s's shingle set under k affine permutations."""
-    sh = _shingle_hashes(s if s else "")
-    # (k, n_shingles) affine transform mod Mersenne prime, vectorized in numpy
-    vals = (_A[:, None] * (sh[None, :] % _MERSENNE) + _B[:, None]) % _MERSENNE
-    return vals.min(axis=1).astype(np.int64).tolist()
+    """Scalar convenience wrapper (tests / exploration): one row through the
+    batch kernel."""
+    return minhash_signatures_batch([s if isinstance(s, str) else ""])[0].tolist()
+
+
+def minhash_oracle_sql_parts() -> dict:
+    """The hash constants, formatted for embedding in DuckDB oracle SQL that
+    replays the signature/band computation exactly (see __spark_entry__)."""
+    return {
+        "p_gram": _P_GRAM,
+        "m31": M31,
+        "band_mult": _BAND_MULT,
+        "a": [int(x) for x in MINHASH_A],
+        "b": [int(x) for x in MINHASH_B],
+        "n_hashes": N_HASHES,
+        "n_bands": N_BANDS,
+        "rows_per_band": ROWS_PER_BAND,
+    }
 
 
 @pandas_udf(ArrayType(LongType()))
 def minhash_bands_udf(locals_: pd.Series) -> pd.Series:
-    """Per string: N_BANDS band signatures (each a hash of ROWS_PER_BAND
-    consecutive minhash values) — the LSH bucket keys."""
-
-    def bands(s):
-        if not isinstance(s, str):
-            s = ""
-        sig = minhash_signature(s)
-        out = []
-        for b in range(N_BANDS):
-            h = np.int64(1469598103934665603)
-            for v in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]:
-                h = np.int64((int(h) ^ int(v)) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
-            out.append(int(h))
-        return out
-
-    return locals_.map(bands)
+    """Per string: N_BANDS band signatures (the LSH bucket keys), one
+    vectorized batch pass (no per-row Python)."""
+    strings = [s if isinstance(s, str) else "" for s in locals_]
+    bands = minhash_band_sigs(minhash_signatures_batch(strings))
+    return pd.Series(list(bands))
 
 
 # --- exact-domain salted blocking ----------------------------------------------

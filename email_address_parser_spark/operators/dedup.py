@@ -22,6 +22,8 @@ sort-merge with AQE skew splitting. No driver-side collects anywhere.
 
 from __future__ import annotations
 
+import re
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -30,7 +32,7 @@ from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
 
 from ..functions.text_analysis import WORD_RE, normalized_text
-from .blocking import N_BANDS, ROWS_PER_BAND, minhash_signature
+from .blocking import minhash_band_sigs, minhash_signatures_batch
 
 # ---------------------------------------------------------------------------
 # 1. exact dedup
@@ -113,21 +115,11 @@ def ngram_jaccard_pairs(
 @pandas_udf(ArrayType(LongType()))
 def _word_minhash_bands(texts: pd.Series) -> pd.Series:
     """Band signatures of the char 3-gram shingle set of the normalized
-    text (Arrow-batched; fixed seeds shared with operators/blocking.py)."""
-
-    def bands(s):
-        if not isinstance(s, str):
-            s = ""
-        sig = minhash_signature(s)
-        out = []
-        for b in range(N_BANDS):
-            h = np.int64(1469598103934665603)
-            for v in sig[b * ROWS_PER_BAND : (b + 1) * ROWS_PER_BAND]:
-                h = np.int64((int(h) ^ int(v)) * 1099511628211 & 0x7FFFFFFFFFFFFFFF)
-            out.append(int(h))
-        return out
-
-    return texts.map(bands)
+    text — one vectorized batch pass (shared fixed-seed machinery with
+    operators/blocking.py; SQL-replayable, see minhash_oracle_sql_parts)."""
+    strings = [s if isinstance(s, str) else "" for s in texts]
+    bands = minhash_band_sigs(minhash_signatures_batch(strings))
+    return pd.Series(list(bands))
 
 
 def minhash_near_dup(
@@ -179,41 +171,61 @@ def minhash_near_dup(
 # ---------------------------------------------------------------------------
 # 4. SimHash
 # ---------------------------------------------------------------------------
+#
+# Token hash = first 64 bits of md5(token). md5 (rather than a bespoke FNV
+# loop) because (a) the per-UNIQUE-token cost is amortized across the Arrow
+# batch with a memo (token frequencies are zipfian, so unique tokens ≪ token
+# occurrences) and the vote accumulation is a single numpy gather+sum, and
+# (b) DuckDB computes the identical value (md5 + hex parse, the same pattern
+# the doc_fingerprints oracle already uses), which makes the ENTIRE
+# dedup_simhash query oracle-replayable.
 
-_FNV_OFFSET = np.uint64(14695981039346656037)
-_FNV_PRIME = np.uint64(1099511628211)
+_TOKEN_RE = re.compile(r"[a-z0-9]+")
+_BIT_WEIGHTS = np.concatenate(
+    # signed two's-complement weights: bit 63 contributes -2^63 (portable on
+    # NumPy 1.x AND 2.x — no out-of-range uint64→int64 conversion anywhere)
+    ([1 << i for i in range(63)], [-(1 << 63)])
+).astype(np.int64)
 
 
-def _fnv1a64(token: str) -> int:
-    h = _FNV_OFFSET
-    for byte in token.encode("utf-8"):
-        h = np.uint64((int(h) ^ byte) * int(_FNV_PRIME) & 0xFFFFFFFFFFFFFFFF)
-    return int(h)
+def _token_pm_rows(tokens: list, memo: dict) -> np.ndarray:
+    """(n_tokens, 64) ±1 int8 rows, one per token occurrence (memoized per
+    unique token)."""
+    import hashlib
+
+    rows = np.empty((len(tokens), 64), dtype=np.int8)
+    for i, t in enumerate(tokens):
+        row = memo.get(t)
+        if row is None:
+            h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:16], 16)
+            bits = (np.uint64(h) >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+            row = (2 * bits.astype(np.int8)) - 1
+            memo[t] = row
+        rows[i] = row
+    return rows
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over word tokens (unweighted votes), as unsigned int."""
-    import re as _re
-
-    tokens = _re.findall(r"[a-z0-9]+", text.lower() if isinstance(text, str) else "")
+    """64-bit SimHash over word tokens (unweighted votes), as SIGNED int64
+    (two's complement — the Spark LongType representation)."""
+    tokens = _TOKEN_RE.findall(text.lower() if isinstance(text, str) else "")
     if not tokens:
         return 0
-    votes = np.zeros(64, dtype=np.int64)
-    for t in tokens:
-        h = _fnv1a64(t)
-        bits = (h >> np.arange(64, dtype=np.uint64)) & 1
-        votes += np.where(bits == 1, 1, -1)
-    sig = np.uint64(0)
-    for i in range(64):
-        if votes[i] > 0:
-            sig |= np.uint64(1) << np.uint64(i)
-    return int(sig)
+    votes = _token_pm_rows(tokens, {}).astype(np.int64).sum(axis=0)
+    return int(((votes > 0) * _BIT_WEIGHTS).sum())
 
 
 @pandas_udf(LongType())
 def simhash_udf(texts: pd.Series) -> pd.Series:
-    # signed view of the unsigned 64-bit signature (Spark LongType)
-    return texts.map(lambda s: np.int64(np.uint64(simhash64(s))))
+    memo: dict = {}
+    out = np.zeros(len(texts), dtype=np.int64)
+    for i, s in enumerate(texts):
+        tokens = _TOKEN_RE.findall(s.lower() if isinstance(s, str) else "")
+        if not tokens:
+            continue
+        votes = _token_pm_rows(tokens, memo).astype(np.int64).sum(axis=0)
+        out[i] = ((votes > 0) * _BIT_WEIGHTS).sum()
+    return pd.Series(out)
 
 
 def simhash_near_dup(
@@ -221,10 +233,27 @@ def simhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    max_bucket: int = None,
 ) -> DataFrame:
     """→ (id_a, id_b, hamming ≤ max_hamming). Candidates via 4×16-bit band
-    equality (pigeonhole: hamming ≤ 3 ⇒ ≥1 of 4 bands identical), then exact
-    popcount filter via bit_count(a XOR b) — all JVM-side."""
+    equality, then exact popcount filter via bit_count(a XOR b) — all
+    JVM-side.
+
+    Recall contract: the 4×16 banding pigeonhole-guarantees that every pair
+    within hamming ≤ 3 shares at least one exact band, so for
+    max_hamming ≤ 3 (and no binding max_bucket) the result is EXACTLY the
+    set of pairs within the hamming radius — which is what makes the query
+    oracle-checkable against a full self-join. Above 3 recall is partial;
+    callers wanting a larger radius should re-band (b bands of 64/b bits
+    guarantee hamming ≤ b-1).
+
+    Scale guards: `max_bucket` drops band buckets holding more docs (hot
+    band values — empty docs all hash to 0, templated boilerplate shares
+    bands — would otherwise regenerate a quadratic pair set; same argument
+    as minhash_near_dup). The hamming filter runs BEFORE the pair
+    dropDuplicates so far-apart candidates never pay the dedup shuffle
+    (hamming is a function of the two sigs alone, so filtering first is
+    semantics-preserving)."""
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
     banded = sig.select(
         "id",
@@ -241,6 +270,13 @@ def simhash_near_dup(
             )
         ).alias("band"),
     ).select("id", "sig", "band.band_idx", "band.band_val")
+    if max_bucket is not None:
+        sizes = banded.groupBy("band_idx", "band_val").agg(
+            F.count(F.lit(1)).alias("_bn")
+        )
+        banded = banded.join(
+            sizes.where(F.col("_bn") <= max_bucket), ["band_idx", "band_val"]
+        ).drop("_bn")
     a, b = banded.alias("a"), banded.alias("b")
     hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
     return (
@@ -251,6 +287,6 @@ def simhash_near_dup(
             F.col("b.id").alias("id_b"),
             hamming.alias("hamming"),
         )
-        .dropDuplicates(["id_a", "id_b"])
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["id_a", "id_b"])
     )

@@ -20,6 +20,7 @@ edges = pairs where score >= threshold (default 0.90).
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -93,6 +94,159 @@ def jaro_winkler_similarity(s1, s2, prefix_scale: float = 0.1, boost_threshold: 
     return jaro + prefix * prefix_scale * (1.0 - jaro)
 
 
+# strings longer than this fall back to the scalar loop (rare; keeps the padded
+# batch matrices bounded at _MAXLEN_VECTOR**2 bools per pair)
+_MAXLEN_VECTOR = 256
+_LEN_BUCKETS = (8, 12, 16, 24, 32, 48, 64, 96, 128, _MAXLEN_VECTOR)
+
+
+def _pack_padded(byte_rows: list, lens: np.ndarray, width: int) -> np.ndarray:
+    """(m, width) uint8 matrix from variable-length byte strings, zero-padded —
+    one bulk scatter, no per-row numpy calls."""
+    m = len(byte_rows)
+    out = np.zeros((m, width), dtype=np.uint8)
+    if m == 0 or lens.sum() == 0:
+        return out
+    flat = np.frombuffer(b"".join(byte_rows), dtype=np.uint8)
+    offs = np.concatenate(([0], np.cumsum(lens)[:-1]))
+    idx = (
+        np.arange(lens.sum(), dtype=np.int64)
+        - np.repeat(offs, lens)
+        + np.repeat(np.arange(m, dtype=np.int64) * width, lens)
+    )
+    out.ravel()[idx] = flat
+    return out
+
+
+def _jw_kernel(s1: list, s2: list) -> np.ndarray:
+    """Vectorized Jaro-Winkler over a batch of UTF-8 byte-string pairs.
+
+    Bit-exact replica of jaro_winkler_similarity(): the greedy window match is
+    run as an (i, j) double loop over PADDED positions with all pair-level
+    state (window bounds, match flags, found-this-i) as batch-wide boolean
+    masks, so every numpy op is O(batch) and no Python executes per pair.
+    Division/boost expressions mirror the scalar code token-for-token so the
+    float64 results are identical (and therefore still replayable by DuckDB's
+    jaro_winkler_similarity in the oracle)."""
+    m = len(s1)
+    l1 = np.fromiter((len(s) for s in s1), dtype=np.int64, count=m)
+    l2 = np.fromiter((len(s) for s in s2), dtype=np.int64, count=m)
+    L1 = int(l1.max()) if m else 0
+    L2 = int(l2.max()) if m else 0
+    A = _pack_padded(s1, l1, L1)
+    B = _pack_padded(s2, l2, L2)
+
+    w = np.maximum(np.maximum(l1, l2) // 2 - 1, 0)
+    wg = int(w.max()) if m else 0
+    flags1 = np.zeros((m, L1), dtype=bool)
+    flags2 = np.zeros((m, L2), dtype=bool)
+    row_ix = np.arange(m)
+    # greedy window matching: i advances sequentially (later matches depend on
+    # earlier flags2 state), but "first available j for this i" is one argmax
+    # over an (m, window) validity slab — ~8 vectorized ops per i, no per-j loop
+    for i in range(L1):
+        j0 = max(0, i - wg)
+        j1 = min(L2, i + wg + 1)
+        if j0 >= j1:
+            break
+        lo = np.maximum(0, i - w)
+        hi = np.minimum(l2, i + w + 1)
+        jj = np.arange(j0, j1)
+        valid = (
+            (B[:, j0:j1] == A[:, i][:, None])
+            & ~flags2[:, j0:j1]
+            & (jj[None, :] >= lo[:, None])
+            & (jj[None, :] < hi[:, None])
+        )
+        first = valid.argmax(axis=1)
+        has = valid[row_ix, first] & (i < l1)
+        rows = np.nonzero(has)[0]
+        flags2[rows, j0 + first[rows]] = True
+        flags1[:, i] = has
+
+    matches = flags1.sum(axis=1)
+    mm = int(matches.max()) if m else 0
+    t = np.zeros(m, dtype=np.int64)
+    if mm > 0:
+        M1 = np.zeros((m, mm), dtype=np.uint8)
+        M2 = np.zeros((m, mm), dtype=np.uint8)
+        r1 = flags1.cumsum(axis=1) - 1
+        rows, cols = np.nonzero(flags1)
+        M1[rows, r1[rows, cols]] = A[rows, cols]
+        r2 = flags2.cumsum(axis=1) - 1
+        rows, cols = np.nonzero(flags2)
+        M2[rows, r2[rows, cols]] = B[rows, cols]
+        t = (
+            ((M1 != M2) & (np.arange(mm)[None, :] < matches[:, None])).sum(axis=1)
+            // 2
+        )
+
+    safe_m = np.maximum(matches, 1)
+    jaro = np.where(
+        matches > 0,
+        (
+            matches / np.maximum(l1, 1)
+            + matches / np.maximum(l2, 1)
+            + (matches - t) / safe_m
+        )
+        / 3.0,
+        0.0,
+    )
+
+    prefix = np.zeros(m, dtype=np.int64)
+    cont = np.ones(m, dtype=bool)
+    for p in range(min(4, L1, L2)):
+        cont = cont & (p < l1) & (p < l2) & (A[:, p] == B[:, p])
+        prefix += cont
+    return np.where(jaro > 0.7, jaro + prefix * 0.1 * (1.0 - jaro), jaro)
+
+
+def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
+    """Batch JW with within-batch pair memoization: factorize both columns,
+    compute each DISTINCT (a, b) string pair exactly once (candidate pairs
+    repeat the same local-part pairs across domains), then run the distinct
+    hard pairs through the vectorized kernel in max-length buckets."""
+    n = len(a)
+    if n == 0:
+        return np.empty(0, dtype=np.float64)
+    ca, ua = pd.factorize(a, sort=False)
+    cb, ub = pd.factorize(b, sort=False)
+    ua = np.asarray(ua, dtype=object)
+    ub = np.asarray(ub, dtype=object)
+    pk = ca.astype(np.int64) * len(ub) + cb
+    upk, inv = np.unique(pk, return_inverse=True)
+    a_u = ua[upk // len(ub)]
+    b_u = ub[upk % len(ub)]
+
+    res = np.empty(len(upk), dtype=np.float64)
+    la = np.fromiter((len(s) for s in a_u), dtype=np.int64, count=len(a_u))
+    lb = np.fromiter((len(s) for s in b_u), dtype=np.int64, count=len(b_u))
+    eq = a_u == b_u
+    res[eq] = 1.0
+    res[(la == 0) | (lb == 0)] = 0.0
+    hard = np.nonzero(~eq & (la > 0) & (lb > 0))[0]
+    if len(hard):
+        ab = [s.encode("utf-8") for s in a_u[hard]]
+        bb = [s.encode("utf-8") for s in b_u[hard]]
+        hla = np.fromiter((len(s) for s in ab), dtype=np.int64, count=len(ab))
+        hlb = np.fromiter((len(s) for s in bb), dtype=np.int64, count=len(bb))
+        hmax = np.maximum(hla, hlb)
+        bucket = np.searchsorted(np.asarray(_LEN_BUCKETS), hmax)
+        for bi in range(len(_LEN_BUCKETS) + 1):
+            sel = np.nonzero(bucket == bi)[0]
+            if not len(sel):
+                continue
+            if bi == len(_LEN_BUCKETS):  # over _MAXLEN_VECTOR: scalar fallback
+                res[hard[sel]] = [
+                    jaro_winkler_similarity(ab[k], bb[k]) for k in sel
+                ]
+            else:
+                res[hard[sel]] = _jw_kernel(
+                    [ab[k] for k in sel], [bb[k] for k in sel]
+                )
+    return res[inv]
+
+
 @pandas_udf(DoubleType())
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     a = a.fillna("")
@@ -101,17 +255,7 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
         return pd.Series(
             [_jw_fast(x, y) for x, y in zip(a, b)], dtype="float64"
         )
-    # vectorized short-circuit: equal non-empty strings score 1.0 without the
-    # O(n*m) loop — canonical locals coincide for most true-match pairs
-    # (quoted/CFWS variants canonicalize to the same local)
-    out = pd.Series(1.0, index=a.index, dtype="float64")
-    eq = (a == b) & (a.str.len() > 0)
-    hard = ~eq
-    if hard.any():
-        out[hard] = [
-            jaro_winkler_similarity(x, y) for x, y in zip(a[hard], b[hard])
-        ]
-    return out
+    return pd.Series(jaro_winkler_batch(a, b), index=a.index, dtype="float64")
 
 
 def score_pairs(pairs: DataFrame) -> DataFrame:

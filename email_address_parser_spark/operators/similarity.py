@@ -126,6 +126,32 @@ def near_dup_pairs(
     )
 
 
+def _centroid_literals(embeddings: DataFrame, n_centroids: int, id_col: str, vec_col: str):
+    """The coarse quantizer as a LITERAL array column of (cid, cvec, cnorm)
+    structs. The n_centroids rows are collected driver-side — this is loading
+    a (tiny, fixed-size) model, not collecting data: on a real deployment the
+    centroids come from an offline k-means and are shipped exactly like this.
+    Norms are computed with the same left-to-right float64 fold as _dot so
+    cell assignment is bit-identical however the cosine is evaluated."""
+    rows = (
+        embeddings.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    structs = []
+    for r in rows:
+        vec = [float(x) for x in r[vec_col]]
+        acc = 0.0
+        for x in vec:
+            acc += x * x
+        structs.append(
+            F.struct(
+                F.lit(int(r[id_col])).cast("long").alias("cid"),
+                F.array(*[F.lit(x).cast("double") for x in vec]).alias("cvec"),
+                F.lit(acc ** 0.5).cast("double").alias("cnorm"),
+            )
+        )
+    return F.array(*structs)
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list,
@@ -136,38 +162,57 @@ def ivf_topk(
     n_probe: int = 4,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors are assigned to their nearest centroid
-    (coarse quantizer, broadcast); each query probes its n_probe nearest
-    cells and re-ranks candidates by exact cosine.
+    (coarse quantizer, a literal expression — ZERO shuffle between the scan
+    and the cell equi-join); each query probes its n_probe nearest cells and
+    re-ranks candidates by exact cosine.
 
     Centroids are a deterministic sample (the n_centroids lowest ids) — on a
-    real deployment swap in k-means centroids computed offline; the Spark
-    plan (broadcast centroids → argmax assignment → cell equi-join → window
-    top-k) is identical either way. Scan cost per query drops from |corpus|
-    to ~(n_probe/n_centroids)·|corpus|."""
+    real deployment swap in k-means centroids computed offline; the plan
+    (literal quantizer → per-row HOF argmax → cell equi-join → window top-k)
+    is identical either way. Scan cost per query drops from |corpus| to
+    ~(n_probe/n_centroids)·|corpus|.
+
+    Cell assignment compares cosines ROUNDED to 6 decimals (ties → lowest
+    centroid id), making the assignment — and therefore the whole query —
+    exactly replayable by the DuckDB oracle regardless of float summation
+    order differences below 1e-6."""
+    carr = _centroid_literals(embeddings, n_centroids, id_col, vec_col)
     base = with_norm(embeddings.select(id_col, vec_col), vec_col)
-    centroids = base.orderBy(id_col).limit(n_centroids).select(
-        F.col(id_col).alias("_cid"),
-        F.col(vec_col).alias("_cvec"),
-        F.col("_norm").alias("_cnorm"),
+
+    def cell_scores(vec: F.Column, norm: F.Column) -> F.Column:
+        return F.transform(
+            carr,
+            lambda ct: F.struct(
+                F.round(cosine(vec, ct["cvec"], norm, ct["cnorm"]), 6).alias("c"),
+                ct["cid"].alias("cid"),
+            ),
+        )
+
+    # argmax via left fold: strict '>' keeps the FIRST maximum, and the
+    # literal array is ordered by centroid id — ties resolve to min cid
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("c"), F.lit(-1).cast("long").alias("cid")
     )
-    ccos = cosine(F.col(vec_col), F.col("_cvec"), F.col("_norm"), F.col("_cnorm"))
-    w_assign = Window.partitionBy(id_col).orderBy(F.desc("_ccos"), F.asc("_cid"))
-    assigned = (
-        base.crossJoin(F.broadcast(centroids))
-        .select(id_col, vec_col, "_norm", "_cid", ccos.alias("_ccos"))
-        .withColumn("_crank", F.row_number().over(w_assign))
-        .where(F.col("_crank") == 1)
-        .select(id_col, vec_col, "_norm", F.col("_cid").alias("cell"))
-    )
+    best_cell = F.aggregate(
+        cell_scores(F.col(vec_col), F.col("_norm")),
+        init,
+        lambda acc, s: F.when(s["c"] > acc["c"], s).otherwise(acc),
+    )["cid"]
+    assigned = base.withColumn("cell", best_cell)
+
+    # query side: tiny (|query_ids| rows) — explode the per-cell scores and
+    # rank to pick the n_probe nearest cells, same rounded-cosine ordering
     queries = (
         base.where(F.col(id_col).isin([int(q) for q in query_ids]))
-        .crossJoin(F.broadcast(centroids))
         .select(
             F.col(id_col).alias("query_id"),
             F.col(vec_col).alias("_qvec"),
             F.col("_norm").alias("_qnorm"),
-            F.col("_cid").alias("cell"),
-            ccos.alias("_ccos"),
+            F.explode(cell_scores(F.col(vec_col), F.col("_norm"))).alias("_cs"),
+        )
+        .select(
+            "query_id", "_qvec", "_qnorm",
+            F.col("_cs.cid").alias("cell"), F.col("_cs.c").alias("_ccos"),
         )
         .withColumn(
             "_crank",

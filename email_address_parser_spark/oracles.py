@@ -1,0 +1,277 @@
+"""DuckDB oracle SQL builders for the engine-specific (hash/ANN) queries.
+
+Round 1 left five queries rows-only ("no_oracle"). These builders close that
+gap by REPLAYING the engine's deterministic kernels in pure SQL:
+
+  * dedup_minhash  — polynomial gram hashes → affine-mod-2^31 minhash →
+    banded bucket join (with the frequent-bucket cap) → exact word-bigram
+    Jaccard verification. Exact int64 arithmetic on both engines
+    (operators/blocking.py documents the bounds).
+  * dedup_simhash  — md5 token hashes (the same hex-parse pattern the
+    doc_fingerprints oracle uses) → per-bit votes → signed-int64 signature →
+    FULL self-join hamming filter. The Spark side's 4×16 banding is
+    recall-complete for hamming ≤ 3 (pigeonhole), so banded == exact.
+  * ann_topk_ivf   — the deterministic coarse quantizer (n lowest ids),
+    6-decimal-rounded cell assignment/probing, exact cosine re-rank.
+  * ann_topk_lsh   — the fixed-seed hyperplane constants embedded as SQL
+    literals (float64 repr round-trips exactly), multi-probe expansion via
+    xor, exact cosine re-rank.
+
+All constants are emitted from the same Python arrays the Spark UDFs use, so
+the two sides cannot drift apart.
+"""
+
+from __future__ import annotations
+
+from .operators.blocking import minhash_oracle_sql_parts
+from .operators.similarity import LSH_BITS, _PLANES
+
+# ---------------------------------------------------------------------------
+# dedup_minhash
+# ---------------------------------------------------------------------------
+
+
+def dedup_minhash_oracle(threshold: float = 0.2, max_bucket: int = 64) -> str:
+    p = minhash_oracle_sql_parts()
+    ab_pairs = ", ".join(f"[{a}, {b}]" for a, b in zip(p["a"], p["b"]))
+    P, M, C = p["p_gram"], p["m31"], p["band_mult"]
+    rpb, nb = p["rows_per_band"], p["n_bands"]
+    return rf"""
+WITH d AS (
+    SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+    FROM documents
+),
+gh AS (
+    SELECT doc_id,
+        CASE WHEN length(norm) >= 3 THEN
+            list_transform(range(1, length(norm) - 1),
+                i -> ((CAST(ord(substr(norm, CAST(i AS INT), 1)) AS BIGINT) * {P}
+                       + ord(substr(norm, CAST(i AS INT) + 1, 1))) * {P}
+                      + ord(substr(norm, CAST(i AS INT) + 2, 1))) & {M})
+        WHEN length(norm) = 2 THEN
+            [(CAST(ord(substr(norm, 1, 1)) AS BIGINT) * {P} + ord(substr(norm, 2, 1))) & {M}]
+        WHEN length(norm) = 1 THEN [CAST(ord(substr(norm, 1, 1)) AS BIGINT) & {M}]
+        ELSE [CAST(0 AS BIGINT)] END AS gh
+    FROM d
+),
+sig AS (
+    SELECT doc_id,
+        list_transform([{ab_pairs}],
+            ab -> list_min(list_transform(gh, h -> (ab[1] * h + ab[2]) & {M}))) AS s
+    FROM gh
+),
+bands AS (
+    SELECT doc_id, t.band_idx,
+        (((((((s[{rpb} * band_idx + 1] * {C} + s[{rpb} * band_idx + 2]) & {M})
+            * {C} + s[{rpb} * band_idx + 3]) & {M}) * {C})
+            + s[{rpb} * band_idx + 4]) & {M}) AS band_sig
+    FROM sig CROSS JOIN range(0, {nb}) AS t(band_idx)
+),
+sizes AS (
+    SELECT band_idx, band_sig, count(*) AS bn FROM bands GROUP BY band_idx, band_sig
+),
+bounded AS (
+    SELECT bands.* FROM bands JOIN sizes USING (band_idx, band_sig)
+    WHERE bn <= {max_bucket}
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bounded a JOIN bounded b USING (band_idx, band_sig)
+    WHERE a.doc_id < b.doc_id
+),
+g AS (
+    SELECT doc_id AS id,
+        list_distinct(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)),
+                     i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM (SELECT doc_id, regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
+          FROM documents)
+),
+verified AS (
+    SELECT id_a, id_b,
+        round(len(list_intersect(ga.grams, gb.grams))
+            / CAST(greatest(len(list_distinct(list_concat(ga.grams, gb.grams))), 1) AS DOUBLE),
+            6) AS jaccard
+    FROM cand
+    JOIN g ga ON ga.id = cand.id_a
+    JOIN g gb ON gb.id = cand.id_b
+)
+SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_simhash
+# ---------------------------------------------------------------------------
+
+
+def dedup_simhash_oracle(max_hamming: int = 3) -> str:
+    bit_rows = ", ".join(f"({i}, {1 << i}::HUGEINT)" for i in range(64))
+    return rf"""
+WITH bits(bit, p) AS (VALUES {bit_rows}),
+tok AS (
+    SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+    FROM documents
+),
+th AS (
+    SELECT doc_id,
+        list_reduce(list_transform(range(1, 17),
+            j -> CAST(strpos('0123456789abcdef', substr(md5(t), CAST(j AS INT), 1)) - 1 AS HUGEINT)),
+            (acc, x) -> acc * 16 + x) AS h
+    FROM tok
+),
+votes AS (
+    SELECT doc_id, bit, sum(CASE WHEN (h // p) % 2 = 1 THEN 1 ELSE -1 END) AS v
+    FROM th CROSS JOIN bits GROUP BY doc_id, bit
+),
+sig0 AS (
+    SELECT doc_id,
+        CAST(sum(CASE WHEN v > 0 THEN
+                CASE WHEN bit = 63 THEN -9223372036854775808
+                     ELSE (CAST(1 AS BIGINT) << bit) END
+            ELSE 0 END) AS BIGINT) AS sig
+    FROM votes GROUP BY doc_id
+),
+sigs AS (
+    SELECT d.doc_id, COALESCE(s.sig, 0) AS sig
+    FROM documents d LEFT JOIN sig0 s USING (doc_id)
+),
+pairs AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {max_hamming}"""
+
+
+# ---------------------------------------------------------------------------
+# shared ANN fragments
+# ---------------------------------------------------------------------------
+
+_ANN_NORM_CTE = r"""
+n AS (
+    SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+    FROM (SELECT vec_id,
+              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+          FROM embeddings)
+)"""
+
+
+def _cos(qv: str, v: str, qn: str, n: str) -> str:
+    return (
+        f"round(list_sum(list_transform(range(1, len({qv}) + 1), "
+        f"i -> {qv}[CAST(i AS INT)] * {v}[CAST(i AS INT)])) "
+        f"/ greatest({qn} * {n}, 1e-12), 6)"
+    )
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_ivf
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_ivf_oracle(
+    query_ids: list, k: int = 10, n_centroids: int = 16, n_probe: int = 4
+) -> str:
+    qids = ", ".join(str(int(q)) for q in query_ids)
+    return rf"""
+WITH {_ANN_NORM_CTE},
+cent AS (
+    SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM n
+    ORDER BY vec_id LIMIT {n_centroids}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY {_cos('n.v', 'c.cvec', 'n.nrm', 'c.cnrm')} DESC, c.cid ASC) AS rn
+        FROM n CROSS JOIN cent c)
+    WHERE rn = 1
+),
+qprobe AS (
+    SELECT query_id, cell FROM (
+        SELECT n.vec_id AS query_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY {_cos('n.v', 'c.cvec', 'n.nrm', 'c.cnrm')} DESC, c.cid ASC) AS rn
+        FROM n CROSS JOIN cent c
+        WHERE n.vec_id IN ({qids}))
+    WHERE rn <= {n_probe}
+),
+cand AS (
+    SELECT q.query_id, a.vec_id AS neighbor_id
+    FROM qprobe q JOIN assign a ON a.cell = q.cell
+    WHERE a.vec_id <> q.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+        {_cos('qn.v', 'nn.v', 'qn.nrm', 'nn.nrm')} AS cosine
+    FROM cand
+    JOIN n qn ON qn.vec_id = cand.query_id
+    JOIN n nn ON nn.vec_id = cand.neighbor_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# ann_topk_lsh
+# ---------------------------------------------------------------------------
+
+
+def ann_topk_lsh_oracle(query_ids: list, k: int = 10, probe_hamming: int = 2) -> str:
+    qids = ", ".join(str(int(q)) for q in query_ids)
+    # plane constants: repr() of a float64 round-trips exactly, so the SQL
+    # literals are bit-identical to the numpy matrix the UDF multiplies by
+    plane_rows = ", ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in _PLANES[:, b])}])"
+        for b in range(LSH_BITS)
+    )
+    flips = [0] + [1 << i for i in range(LSH_BITS)]
+    if probe_hamming >= 2:
+        flips += [
+            (1 << i) | (1 << j)
+            for i in range(LSH_BITS)
+            for j in range(i + 1, LSH_BITS)
+        ]
+    flip_rows = ", ".join(f"({f})" for f in flips)
+    return rf"""
+WITH {_ANN_NORM_CTE},
+planes(b, pv) AS (VALUES {plane_rows}),
+pb AS (
+    SELECT vec_id,
+        CAST(sum(CASE WHEN list_sum(list_transform(range(1, len(v) + 1),
+                    i -> v[CAST(i AS INT)] * pv[CAST(i AS INT)])) > 0
+                 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS bucket
+    FROM n CROSS JOIN planes GROUP BY vec_id
+),
+q AS (
+    SELECT vec_id AS query_id, bucket AS qb FROM pb WHERE vec_id IN ({qids})
+),
+flipt(flip) AS (VALUES {flip_rows}),
+expd AS (
+    SELECT query_id, xor(qb, CAST(flip AS BIGINT)) AS bucket FROM q CROSS JOIN flipt
+),
+cand AS (
+    SELECT DISTINCT e.query_id, p.vec_id AS neighbor_id
+    FROM expd e JOIN pb p ON p.bucket = e.bucket
+    WHERE p.vec_id <> e.query_id
+),
+scored AS (
+    SELECT cand.query_id, cand.neighbor_id,
+        {_cos('qn.v', 'nn.v', 'qn.nrm', 'nn.nrm')} AS cosine
+    FROM cand
+    JOIN n qn ON qn.vec_id = cand.query_id
+    JOIN n nn ON nn.vec_id = cand.neighbor_id
+),
+r AS (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM scored
+)
+SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {k}"""

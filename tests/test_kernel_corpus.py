@@ -155,3 +155,39 @@ def test_inline_unit_cases():
     # equality is exact and case-sensitive (email_address.rs:330-340)
     assert EmailAddress("foo", "bar.com") == EmailAddress("foo", "bar.com")
     assert EmailAddress("foo", "bar.com") != EmailAddress("foo", "BAR.com")
+
+
+def test_deep_comment_nesting_rust_parity():
+    """Comments nest to depth 128 like the Rust parser (nom_parser.rs:9,
+    425-450); the corpus only exercises depth <= 2, so these cases guard the
+    bucketed deep-pattern fallback (kernel/grammar.py deep_patterns)."""
+    import time
+
+    from email_address_parser_spark.kernel.grammar import MAX_COMMENT_DEPTH
+    from email_address_parser_spark.kernel.parser import is_valid_email, parse_email
+
+    def nest(d, inner="c"):
+        s = inner
+        for _ in range(d):
+            s = f"({s})"
+        return s
+
+    # corpus depth-2 case still handled by the default pattern
+    assert parse_email("(comment(comment))test@iana.org", True) == (
+        "(comment(comment))test",
+        "iana.org",
+    )
+    # depth 3-10: lax accepts, captures stay verbatim
+    for d in (3, 4, 10):
+        assert parse_email(nest(d) + "x@y.z", True) == (nest(d) + "x", "y.z")
+    # FWS inside a nested comment (Rust accepts; the TS twin's bound did not)
+    assert is_valid_email("(a( b))x@y.z", True)
+    # strict mode carries CFWS around quoted strings → deep comments apply too
+    assert parse_email('((a(b)))"q"@y.z', False) is not None
+    # the Rust cap: depth 128 accepted, 129 rejected
+    assert is_valid_email(nest(MAX_COMMENT_DEPTH) + "x@y.z", True)
+    assert not is_valid_email(nest(MAX_COMMENT_DEPTH + 1) + "x@y.z", True)
+    # adversarial unclosed nesting stays linear (possessive quantifiers)
+    t0 = time.perf_counter()
+    assert not is_valid_email("(" * 120 + " a " * 50 + "@x.y", True)
+    assert (time.perf_counter() - t0) < 0.5

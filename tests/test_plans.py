@@ -1,0 +1,83 @@
+"""Physical-plan shape tests (email_address_parser_spark.plans helpers).
+
+Results matching is not enough at 100 TB — these tests fail when a plan
+regression reintroduces a shuffle or drops a partial top-k, even if the rows
+still match at test scale."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    from email_address_parser_spark.sources.testdata import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_brute_force_topk_has_partial_window_group_limit(spark):
+    """row_number() <= k must plan a per-partition WindowGroupLimit(Partial)
+    BELOW the exchange (SPARK-37099): the shuffle carries ~k rows per
+    (partition, query) instead of the full |corpus| x |queries| product."""
+    from email_address_parser_spark.operators.similarity import brute_force_topk
+    from email_address_parser_spark.plans import has_partial_window_group_limit
+
+    df = brute_force_topk(_emb(spark), list(range(4)), k=5)
+    df.write.format("noop").mode("overwrite").save()  # finalize AQE plan
+    assert has_partial_window_group_limit(df)
+
+
+def test_ivf_corpus_side_has_no_shuffle(spark):
+    """The IVF cell assignment is a literal-quantizer HOF argmax: between the
+    corpus parquet scan and the cell equi-join there must be NO shuffle
+    Exchange (the round-1 crossJoin+window formulation shuffled the corpus
+    x n_centroids — VERDICT.md 'What's wrong' #4)."""
+    from email_address_parser_spark.operators.similarity import ivf_topk
+    from email_address_parser_spark.plans import explain_str
+
+    df = ivf_topk(_emb(spark), list(range(4)), k=5, n_centroids=8, n_probe=2)
+    plan = explain_str(df, "simple")
+    lines = plan.splitlines()
+    join_ix = next(
+        i for i, l in enumerate(lines) if "BroadcastHashJoin" in l and "cell" in l
+    )
+    # the corpus branch is the ':-' side of the join, ending where the
+    # broadcast (query) side starts
+    for line in lines[join_ix + 1 :]:
+        if "BroadcastExchange" in line:
+            break
+        assert "Exchange hashpartitioning" not in line, plan
+
+
+def test_media_metadata_scan_prunes_payload_readschema(spark, tmp_path):
+    from email_address_parser_spark.operators.multimodal import (
+        attach_image_payload,
+        media_metadata,
+    )
+    from email_address_parser_spark.plans import scan_read_schema
+
+    docs = spark.createDataFrame([Row(doc_id=1, text="prune me")])
+    path = str(tmp_path / "media")
+    attach_image_payload(docs).write.mode("overwrite").parquet(path)
+    cols = scan_read_schema(media_metadata(spark.read.parquet(path)))
+    assert cols and "payload" not in cols
+
+
+def test_q1_scan_prunes_and_pushes_filter(spark):
+    """TPC-H Q1 shape: the lineitem scan must read only the referenced
+    columns and push the shipdate filter into the scan."""
+    import __spark_entry__ as entry
+
+    from email_address_parser_spark.plans import explain_str, scan_read_schema
+
+    df = entry.queries()["q1_pricing_summary"](spark, SF_DIR)
+    cols = scan_read_schema(df)
+    assert set(cols) <= {
+        "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+        "l_discount", "l_shipdate",
+    }
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explain_str(
+        df, "formatted"
+    )

@@ -130,16 +130,28 @@ def test_minhash_near_dup_recall(spark):
 
 
 def test_simhash_near_dup(spark):
+    """For max_hamming <= 3 the 4x16 banding is recall-COMPLETE (pigeonhole),
+    so the Spark result must equal a brute-force all-pairs hamming filter."""
     from email_address_parser_spark.operators.dedup import simhash64, simhash_near_dup
 
     # deterministic kernel
     assert simhash64("the quick fox") == simhash64("the quick fox")
+    corpus = _dup_corpus(spark)
+    rows = corpus.collect()
+    sigs = {r.doc_id: simhash64(r.text) for r in rows}
+    expected = {}
+    ids = sorted(sigs)
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = bin((sigs[a] ^ sigs[b]) & 0xFFFFFFFFFFFFFFFF).count("1")
+            if h <= 3:
+                expected[(a, b)] = h
     got = {
         (r.id_a, r.id_b): r.hamming
-        for r in simhash_near_dup(_dup_corpus(spark), max_hamming=10).collect()
+        for r in simhash_near_dup(corpus, max_hamming=3).collect()
     }
+    assert got == expected
     assert (1, 2) in got and got[(1, 2)] == 0  # normalized-identical → same sig
-    assert got.get((1, 3), 99) <= 10
 
 
 # ---------------------------------------------------------------------------
