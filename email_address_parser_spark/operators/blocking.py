@@ -216,23 +216,26 @@ def uniq_valid_mentions(mentions: DataFrame) -> DataFrame:
 
 def match_key_representatives(mentions: DataFrame, uniq: DataFrame = None) -> DataFrame:
     """One representative per exact-canonical key (match_key = dotless local
-    @ lower domain): the min email, with the key's own dotless local as the
-    scoring feature. Emails sharing a match_key are trivially the same
-    entity (score formula: jw=1, lev=0, dom=0, dotless_eq=1 ⇒ score=1.0),
-    so the quadratic fuzzy stage only needs to compare KEYS — the standard
-    exact-dedup-before-fuzzy-match reduction. At 10^12 turns this shrinks
-    the pair space by the per-entity variant multiplicity squared."""
-    # every member of a match_key group has the same dot-stripped local (by
-    # construction of match_key), so min() is just a deterministic pick — no
-    # regex re-split of the key (locals/domain-literals may themselves
-    # contain '@')
-    dotless = F.regexp_replace(F.col("local_canon"), r"\.", "")
+    @ lower domain): the min email, carrying that email's OWN local_canon
+    (dotted) as the scoring feature. Emails sharing a match_key are trivially
+    the same entity (score formula: jw=1, lev=0, dom=0, dotless_eq=1 ⇒
+    score=1.0), so the quadratic fuzzy stage only needs to compare KEYS —
+    the standard exact-dedup-before-fuzzy-match reduction. At 10^12 turns
+    this shrinks the pair space by the per-entity variant multiplicity
+    squared.
+
+    The rep keeps the min email's actual local_canon (min_by) rather than the
+    dot-stripped key local: JW/Levenshtein then see the same dotted strings
+    the full path scores (dot-insensitivity is already captured by the
+    dotless_eq feature), so cross-key pairs near the threshold score
+    identically on both paths instead of flipping sides when dots are
+    stripped (round-1 ADVICE)."""
     src = uniq if uniq is not None else uniq_valid_mentions(mentions)
     return (
         src.groupBy("match_key", "domain_canon")
         .agg(
             F.min("email").alias("email"),
-            F.min(dotless).alias("local_canon"),
+            F.min_by("local_canon", "email").alias("local_canon"),
         )
         .select("email", "local_canon", "domain_canon")
     )

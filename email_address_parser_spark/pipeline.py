@@ -47,12 +47,25 @@ class PipelineConfig:
 
 class CheckpointManager:
     """Parquet stage store: write-once tables + JSON manifests with counters
-    and per-partition lineage (F12/F15)."""
+    and per-partition lineage (F12/F15).
 
-    def __init__(self, spark: SparkSession, root: Optional[str], resume: bool = True):
+    `fingerprint` identifies the plan-affecting configuration: a stage whose
+    manifest carries a DIFFERENT fingerprint is treated as absent and
+    recomputed, so re-running against the same checkpoint_dir with a changed
+    threshold/blocking/collapse config never silently reuses stale tables
+    (round-1 ADVICE)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: Optional[str],
+        resume: bool = True,
+        fingerprint: str = "",
+    ):
         self.spark = spark
         self.root = Path(root) if root else None
         self.resume = resume
+        self.fingerprint = fingerprint
 
     def _paths(self, stage: str):
         assert self.root is not None
@@ -62,7 +75,13 @@ class CheckpointManager:
         if self.root is None or not self.resume:
             return False
         table, manifest = self._paths(stage)
-        return manifest.exists() and (table / "_SUCCESS").exists()
+        if not (manifest.exists() and (table / "_SUCCESS").exists()):
+            return False
+        try:
+            recorded = json.loads(manifest.read_text()).get("config_fingerprint", "")
+        except (ValueError, OSError):
+            return False
+        return recorded == self.fingerprint
 
     def load(self, stage: str) -> DataFrame:
         table, _ = self._paths(stage)
@@ -107,6 +126,7 @@ class CheckpointManager:
                     "partitions": {str(r["partition_id"]): r["count"] for r in partition_hist},
                     "counters": counters,
                     "schema": persisted.schema.jsonValue(),
+                    "config_fingerprint": self.fingerprint,
                 },
                 indent=2,
             )
@@ -119,13 +139,35 @@ class CheckpointManager:
         return self.save(name, compute())
 
 
+def config_fingerprint(cfg: "PipelineConfig") -> str:
+    """Stable digest of the PipelineConfig fields that change stage CONTENT
+    (checkpoint_dir/resume/stage_partitions only affect placement, not
+    values, and are excluded)."""
+    import hashlib
+
+    payload = json.dumps(
+        {
+            "threshold": cfg.threshold,
+            "hot_threshold": cfg.hot_threshold,
+            "target_block_size": cfg.target_block_size,
+            "use_lsh": cfg.use_lsh,
+            "collapse_exact": cfg.collapse_exact,
+            "dedupe_pairs": cfg.dedupe_pairs,
+        },
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def run_pipeline(
     spark: SparkSession,
     transcripts: DataFrame,
     config: Optional[PipelineConfig] = None,
 ) -> Dict[str, DataFrame]:
     cfg = config or PipelineConfig()
-    ckpt = CheckpointManager(spark, cfg.checkpoint_dir, cfg.resume)
+    ckpt = CheckpointManager(
+        spark, cfg.checkpoint_dir, cfg.resume, fingerprint=config_fingerprint(cfg)
+    )
 
     mentions = ckpt.stage(
         "mentions", lambda: with_canonical(extract_mentions(transcripts))
@@ -190,10 +232,20 @@ def cluster_mentions_collapsed(
     """Collapsed-path clustering: the iterative CC loop runs ONLY on the
     rep↔rep fuzzy match graph (orders of magnitude smaller than the full
     edge set); within-key members inherit their root's cluster with one
-    join. Correctness: every member is ≥ its root (root = min(email) of the
-    key), so min-of-component over reps IS min-of-component over all
-    emails — identical cluster ids to cluster_mentions(mentions,
-    fuzzy ∪ stars), which tests/test_collapse_exact.py asserts."""
+    join. Cluster-id determinism: every member is ≥ its root (root =
+    min(email) of the key), so min-of-component over reps IS
+    min-of-component over all emails.
+
+    Equivalence contract: reps carry the min email's own local_canon
+    (blocking.match_key_representatives), so a rep↔rep pair scores exactly
+    like that same member pair on the full path. The full path additionally
+    scores every OTHER cross-key member pair; a cross-key edge that only a
+    non-rep member pair would produce (different dotted variants straddling
+    the threshold) is found by the collapsed path only via the rep pair —
+    an approximation that is exact whenever per-key variants share the
+    canonical local (true for the synth and driver corpora, asserted by
+    tests/test_collapse_exact.py), and otherwise errs toward the rep pair's
+    score."""
     if nodes is None:
         nodes = (
             mentions.where(F.col("valid_lax"))

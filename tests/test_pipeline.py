@@ -122,11 +122,31 @@ def test_checkpoint_manifests_and_resume(spark, results, corpus):
     assert sum(manifest["partitions"].values()) == manifest["rows"]
 
     # resume: feed an EMPTY input — if resume works, checkpointed stages load
-    # instead of recomputing and the clusters are unchanged
+    # instead of recomputing and the clusters are unchanged. The config must
+    # match the original run (the manifest fingerprint gates reuse).
     sdf = spark.createDataFrame(
         [],
         schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
     )
-    cfg = PipelineConfig(checkpoint_dir=str(ckpt), resume=True)
+    cfg = PipelineConfig(
+        checkpoint_dir=str(ckpt), resume=True, hot_threshold=50, target_block_size=40
+    )
     resumed = run_pipeline(spark, sdf, cfg)
     assert resumed["clusters"].count() == len(out["clusters"])
+
+
+def test_checkpoint_invalidated_on_config_change(spark, results):
+    """A different plan-affecting config must NOT reuse checkpointed stages:
+    rerunning with a changed threshold against the same checkpoint_dir and an
+    empty input recomputes from scratch (round-1 ADVICE)."""
+    out, ckpt = results
+    sdf = spark.createDataFrame(
+        [],
+        schema="conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    )
+    cfg = PipelineConfig(
+        checkpoint_dir=str(ckpt), resume=True, hot_threshold=50,
+        target_block_size=40, threshold=0.95,
+    )
+    rerun = run_pipeline(spark, sdf, cfg)
+    assert rerun["clusters"].count() == 0  # stale tables were not reused
