@@ -266,45 +266,6 @@ _PAIR_COLS = [
 ]
 
 
-def _grouped_pairs(blocked: DataFrame, key_cols: list, max_members: int) -> DataFrame:
-    """Single-shuffle pair expansion for BOUNDED blocks: collect each block
-    into a sorted array and explode the ordered pairs with higher-order
-    functions — replaces the self-join's two shuffle-sorts (and, for LSH,
-    the extra bucket-size groupBy + join) with one groupBy. Only safe when
-    block size is capped (salting / max_bucket guarantee that); the
-    unbounded oracle path keeps the sort-merge self-join."""
-    members = F.array_sort(
-        F.collect_list(F.struct("email", "local_canon", "domain_canon"))
-    )
-    g = (
-        blocked.groupBy(*key_cols)
-        .agg(members.alias("ms"))
-        .where((F.size("ms") >= 2) & (F.size("ms") <= max_members))
-    )
-    size = F.size(F.col("ms"))
-    pairs = F.flatten(
-        F.transform(
-            F.col("ms"),
-            lambda a, i: F.transform(
-                F.slice(
-                    F.col("ms"),
-                    i + F.lit(2),
-                    F.greatest(size - i - F.lit(1), F.lit(0)),
-                ),
-                lambda b: F.struct(a.alias("a"), b.alias("b")),
-            ),
-        )
-    )
-    return g.select(F.explode(pairs).alias("p")).select(
-        F.col("p.a.email").alias("email_a"),
-        F.col("p.b.email").alias("email_b"),
-        F.col("p.a.local_canon").alias("local_canon_a"),
-        F.col("p.b.local_canon").alias("local_canon_b"),
-        F.col("p.a.domain_canon").alias("domain_canon_a"),
-        F.col("p.b.domain_canon").alias("domain_canon_b"),
-    )
-
-
 def candidate_pairs(
     mentions: DataFrame,
     hot_threshold: int = 10_000,
@@ -335,7 +296,14 @@ def candidate_pairs(
         uniq = _unique_mentions(mentions)
     blocked = with_salted_domain_block(uniq, hot_threshold, target_block_size)
 
-    def self_join(df: DataFrame, key: list) -> DataFrame:
+    # Pair generation carries ONLY the join keys + email through the
+    # quadratic self-joins and the dedupe shuffle; local/domain columns are
+    # re-attached afterwards with an equi-join against the (much smaller)
+    # distinct-email table — AQE broadcasts it below the threshold, and at
+    # cluster scale the attach join shuffles id-only pairs instead of
+    # pushing 6 string columns through every exchange (~3x shuffle bytes).
+
+    def self_join_ids(df: DataFrame, key: list) -> DataFrame:
         a = df.alias("a")
         b = df.alias("b")
         return (
@@ -344,37 +312,16 @@ def candidate_pairs(
             .select(
                 F.col("a.email").alias("email_a"),
                 F.col("b.email").alias("email_b"),
-                F.col("a.local_canon").alias("local_canon_a"),
-                F.col("b.local_canon").alias("local_canon_b"),
-                F.col("a.domain_canon").alias("domain_canon_a"),
-                F.col("b.domain_canon").alias("domain_canon_b"),
             )
         )
 
-    # measured on this box: the collect_list + higher-order-function pair
-    # expansion (one shuffle) LOSES to the tungsten sort-merge self-join by
-    # ~3x — per-row array/struct allocation dominates. Kept available behind
-    # this switch for cluster-profile tuning; default off.
-    grouped = False
-
-    if grouped:
-        pairs = _grouped_pairs(
-            blocked.select("block_key", "email", "local_canon", "domain_canon"),
-            ["block_key"],
-            # memory guard only — salted buckets sit near target_block_size,
-            # unsalted blocks at ≤ hot_threshold; nothing legitimate exceeds this
-            max_members=max(hot_threshold, 16 * target_block_size),
-        )
-    else:
-        pairs = self_join(
-            blocked.select("block_key", "email", "local_canon", "domain_canon"),
-            ["block_key"],
-        )
+    pairs = self_join_ids(blocked.select("block_key", "email"), ["block_key"])
 
     if use_lsh:
+        from pyspark.sql.window import Window
+
         with_bands = uniq.select(
             "email",
-            "local_canon",
             "domain_canon",
             F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
                 "band_idx", "band_sig"
@@ -385,24 +332,30 @@ def candidate_pairs(
         # prefix makes most pairs band-collide) and would regenerate the full
         # quadratic pair set; true near-duplicate groups are small. Standard
         # LSH-at-scale practice; the exact-domain channel keeps full recall on
-        # the blocking key regardless. LSH pairs only gate the scorer;
-        # restricting to same canonical domain keeps the channel to hard
-        # same-domain candidates (identity variants never change the domain).
-        if grouped:
-            lsh_pairs = _grouped_pairs(
-                with_bands,
-                ["band_idx", "band_sig", "domain_canon"],
-                max_members=lsh_max_bucket,
-            )
-        else:
-            bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
-                F.count(F.lit(1)).alias("_bn")
-            )
-            bounded = with_bands.join(
-                bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
-                ["band_idx", "band_sig"],
-            )
-            lsh_pairs = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
+        # the blocking key regardless. The cap is a COUNT window over the
+        # band-bucket partitioning (one shuffle) rather than a groupBy+join —
+        # the banding UDF output feeds a single exchange that the self-join
+        # then reuses (ReusedExchange), instead of being recomputed per side.
+        # LSH pairs only gate the scorer; restricting to same canonical
+        # domain keeps the channel to hard same-domain candidates (identity
+        # variants never change the domain).
+        w = Window.partitionBy("band_idx", "band_sig")
+        bounded = with_bands.withColumn(
+            "_bn", F.count(F.lit(1)).over(w)
+        ).where(F.col("_bn") <= lsh_max_bucket)
+        lsh_pairs = self_join_ids(bounded, ["band_idx", "band_sig", "domain_canon"])
         pairs = pairs.unionByName(lsh_pairs)
 
-    return pairs.dropDuplicates(["email_a", "email_b"]) if dedupe else pairs
+    if dedupe:
+        pairs = pairs.dropDuplicates(["email_a", "email_b"])
+    ua = uniq.select(
+        F.col("email").alias("email_a"),
+        F.col("local_canon").alias("local_canon_a"),
+        F.col("domain_canon").alias("domain_canon_a"),
+    )
+    ub = uniq.select(
+        F.col("email").alias("email_b"),
+        F.col("local_canon").alias("local_canon_b"),
+        F.col("domain_canon").alias("domain_canon_b"),
+    )
+    return pairs.join(ua, "email_a").join(ub, "email_b").select(*_PAIR_COLS)
