@@ -202,17 +202,20 @@ def _jw_kernel(s1: list, s2: list) -> np.ndarray:
 
 
 def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
-    """Batch JW with within-batch pair memoization: factorize both columns,
+    """Batch JW with within-batch pair memoization: unique both columns,
     compute each DISTINCT (a, b) string pair exactly once (candidate pairs
     repeat the same local-part pairs across domains), then run the distinct
-    hard pairs through the vectorized kernel in max-length buckets."""
+    hard pairs through the vectorized kernel in max-length buckets.
+
+    np.unique (Python string comparisons), NOT pd.factorize: pandas'
+    StringHashTable compares via NUL-terminated C strings, so a local part
+    containing an escaped NUL (quoted-pair '\\\\x00' — grammar-legal) would
+    collide with its truncated prefix and score as the wrong pair."""
     n = len(a)
     if n == 0:
         return np.empty(0, dtype=np.float64)
-    ca, ua = pd.factorize(a, sort=False)
-    cb, ub = pd.factorize(b, sort=False)
-    ua = np.asarray(ua, dtype=object)
-    ub = np.asarray(ub, dtype=object)
+    ua, ca = np.unique(a.to_numpy(dtype=object), return_inverse=True)
+    ub, cb = np.unique(b.to_numpy(dtype=object), return_inverse=True)
     pk = ca.astype(np.int64) * len(ub) + cb
     upk, inv = np.unique(pk, return_inverse=True)
     a_u = ua[upk // len(ub)]

@@ -82,3 +82,58 @@ def test_extraction_finds_embedded_address(prefix, local, domain):
     text = f"{prefix} {addr} suffix"
     candidates = extract_candidates(text)
     assert addr in candidates
+
+
+# ---------------------------------------------------------------------------
+# vectorized kernels == scalar definitions
+# ---------------------------------------------------------------------------
+
+
+@given(
+    pairs=st.lists(
+        st.tuples(st.text(max_size=40), st.text(max_size=40)), max_size=60
+    )
+)
+@settings(max_examples=150, deadline=None)
+def test_jw_batch_equals_scalar(pairs):
+    """The numpy batch Jaro-Winkler is bit-identical to the scalar
+    formulation (which pytest separately pins to DuckDB's
+    jaro_winkler_similarity)."""
+    import numpy as np
+    import pandas as pd
+
+    from email_address_parser_spark.operators.scoring import (
+        jaro_winkler_batch,
+        jaro_winkler_similarity,
+    )
+
+    a = pd.Series([p[0] for p in pairs], dtype=object)
+    b = pd.Series([p[1] for p in pairs], dtype=object)
+    got = jaro_winkler_batch(a, b)
+    want = np.array([jaro_winkler_similarity(x, y) for x, y in pairs])
+    assert got.shape == want.shape
+    assert (got == want).all()
+
+
+@given(strings=st.lists(st.text(max_size=80), max_size=40))
+@settings(max_examples=150, deadline=None)
+def test_minhash_batch_equals_scalar_definition(strings):
+    """The reduceat batch minhash equals the per-string definition:
+    min over 3-gram polynomial hashes of each affine-mod-2^31 permutation."""
+    from email_address_parser_spark.operators.blocking import (
+        M31,
+        MINHASH_A,
+        MINHASH_B,
+        _gram_hash_str,
+        minhash_signatures_batch,
+    )
+
+    sigs = minhash_signatures_batch(strings)
+    for i, s in enumerate(strings):
+        grams = [s] if len(s) < 3 else [s[j : j + 3] for j in range(len(s) - 2)]
+        hs = [_gram_hash_str(g) for g in grams]
+        want = [
+            min((int(ak) * h + int(bk)) & M31 for h in hs)
+            for ak, bk in zip(MINHASH_A, MINHASH_B)
+        ]
+        assert sigs[i].tolist() == want, (i, s)
