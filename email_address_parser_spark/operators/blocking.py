@@ -318,11 +318,8 @@ def candidate_pairs(
     pairs = self_join_ids(blocked.select("block_key", "email"), ["block_key"])
 
     if use_lsh:
-        from pyspark.sql.window import Window
-
         with_bands = uniq.select(
-            "email",
-            "domain_canon",
+            F.struct("email", "domain_canon").alias("m"),
             F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
                 "band_idx", "band_sig"
             ),
@@ -332,18 +329,40 @@ def candidate_pairs(
         # prefix makes most pairs band-collide) and would regenerate the full
         # quadratic pair set; true near-duplicate groups are small. Standard
         # LSH-at-scale practice; the exact-domain channel keeps full recall on
-        # the blocking key regardless. The cap is a COUNT window over the
-        # band-bucket partitioning (one shuffle) rather than a groupBy+join —
-        # the banding UDF output feeds a single exchange that the self-join
-        # then reuses (ReusedExchange), instead of being recomputed per side.
-        # LSH pairs only gate the scorer; restricting to same canonical
-        # domain keeps the channel to hard same-domain candidates (identity
-        # variants never change the domain).
-        w = Window.partitionBy("band_idx", "band_sig")
-        bounded = with_bands.withColumn(
-            "_bn", F.count(F.lit(1)).over(w)
-        ).where(F.col("_bn") <= lsh_max_bucket)
-        lsh_pairs = self_join_ids(bounded, ["band_idx", "band_sig", "domain_canon"])
+        # the blocking key regardless. Candidate generation is ONE groupBy +
+        # higher-order-function pair explosion (size cap + pair expansion on
+        # the collected bucket array) — a bucket self-join would re-evaluate
+        # the banding UDF once per side, since Spark does not reuse exchanges
+        # across pandas-UDF subtrees. LSH pairs only gate the scorer;
+        # restricting to same canonical domain keeps the channel to hard
+        # same-domain candidates (identity variants never change the domain).
+        g = (
+            with_bands.groupBy("band_idx", "band_sig")
+            .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+            .where((F.size("ms") >= 2) & (F.size("ms") <= lsh_max_bucket))
+        )
+        size = F.size(F.col("ms"))
+        expanded = F.flatten(
+            F.transform(
+                F.col("ms"),
+                lambda x, i: F.transform(
+                    F.slice(
+                        F.col("ms"),
+                        i + F.lit(2),
+                        F.greatest(size - i - F.lit(1), F.lit(0)),
+                    ),
+                    lambda y: F.struct(x.alias("a"), y.alias("b")),
+                ),
+            )
+        )
+        lsh_pairs = (
+            g.select(F.explode(expanded).alias("p"))
+            .where(F.col("p.a.domain_canon") == F.col("p.b.domain_canon"))
+            .select(
+                F.col("p.a.email").alias("email_a"),
+                F.col("p.b.email").alias("email_b"),
+            )
+        )
         pairs = pairs.unionByName(lsh_pairs)
 
     if dedupe:

@@ -106,6 +106,40 @@ def ngram_jaccard_pairs(
     )
 
 
+def _bucket_pairs(
+    keyed: DataFrame, key_cols: list, max_bucket: int, id_col: str = "id"
+) -> DataFrame:
+    """Ordered unique id pairs within each (size-capped) bucket, from ONE
+    groupBy: collect_list + higher-order-function pair explosion. Evaluates
+    the (possibly UDF-backed) input exactly once — a bucket self-join would
+    evaluate it per join side, since Spark does not reuse exchanges across
+    pandas-UDF subtrees."""
+    g = (
+        keyed.groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list(id_col)).alias("ids"))
+        .where((F.size("ids") >= 2) & (F.size("ids") <= max_bucket))
+    )
+    size = F.size(F.col("ids"))
+    pairs = F.flatten(
+        F.transform(
+            F.col("ids"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ids"),
+                    i + F.lit(2),
+                    F.greatest(size - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("id_a"), y.alias("id_b")),
+            ),
+        )
+    )
+    return (
+        g.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. MinHash-LSH near-dup (word shingles; reuses blocking.py's fixed-seed
 #    signature machinery)
@@ -140,34 +174,33 @@ def minhash_near_dup(
         would otherwise duplicate its gram array through the shuffle);
       * pairs are de-duplicated BEFORE the gram arrays are joined back, so
         the exact-Jaccard verification runs once per unique pair."""
-    from pyspark.sql.window import Window
-
+    if threshold <= 0:
+        raise ValueError(
+            "minhash_near_dup requires threshold > 0 (zero-overlap candidate "
+            "pairs are pruned before verification)"
+        )
     norm = normalized_text(F.col(text_col))
     grams = df.select(F.col(id_col).alias("id"), _word_bigrams(text_col).alias("grams"))
     bands = df.select(
         F.col(id_col).alias("id"),
         F.posexplode(_word_minhash_bands(norm)).alias("band_idx", "band_sig"),
     )
-    # bucket cap as a COUNT window over the band partitioning: one exchange
-    # that the self-join reuses on both sides (the groupBy+join formulation
-    # re-evaluated the signature UDF chain per join side)
-    w = Window.partitionBy("band_idx", "band_sig")
-    bounded = bands.withColumn("_bn", F.count(F.lit(1)).over(w)).where(
-        F.col("_bn") <= max_bucket
-    )
-    a, b = bounded.alias("a"), bounded.alias("b")
-    cand = (
-        a.join(b, ["band_idx", "band_sig"])
-        .where(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+    # Candidate generation as ONE groupBy + higher-order-function pair
+    # explosion: Spark cannot reuse exchanges across pandas-UDF subtrees
+    # (PythonUDF canonicalization), so a bucket self-join evaluates the
+    # signature UDF once per side; collecting each (capped) bucket into a
+    # sorted id array and exploding the ordered pairs evaluates it exactly
+    # once and needs a single exchange. Safe because max_bucket bounds the
+    # array (<= max_bucket ids) and the explosion (<= max_bucket^2/2 rows).
+    cand = _bucket_pairs(bands, ["band_idx", "band_sig"], max_bucket)
     # Exact-Jaccard verification RELATIONALLY: per-row array_intersect over
     # string arrays costs ~70us/pair in the JVM (per-row hash sets of
     # UTF8Strings — measured 10s for 151k pairs at sf0.1); the equivalent
     # gram equi-join + count aggregate is plain hash-join work. Grams are
     # distinct per doc (_word_bigrams array_distinct), so
     # |A∪B| = |A|+|B|-|A∩B| exactly, same 6-decimal rounding as the oracle.
+    # Pairs sharing zero grams never reach the jaccard expression — correct
+    # for any threshold > 0 (enforced above).
     eg = df.select(F.col(id_col).alias("id"), F.explode(_word_bigrams(text_col)).alias("gram"))
     gsize = grams.select(F.col("id"), F.size("grams").alias("sz"))
     matched = (
@@ -176,12 +209,9 @@ def minhash_near_dup(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("_inter"))
     )
-    withcounts = (
-        cand.join(matched, ["id_a", "id_b"], "left")
-        .na.fill({"_inter": 0})
-        .join(gsize.select(F.col("id").alias("id_a"), F.col("sz").alias("_sa")), "id_a")
-        .join(gsize.select(F.col("id").alias("id_b"), F.col("sz").alias("_sb")), "id_b")
-    )
+    withcounts = matched.join(
+        gsize.select(F.col("id").alias("id_a"), F.col("sz").alias("_sa")), "id_a"
+    ).join(gsize.select(F.col("id").alias("id_b"), F.col("sz").alias("_sb")), "id_b")
     union = F.greatest(F.col("_sa") + F.col("_sb") - F.col("_inter"), F.lit(1))
     jac = F.round(F.col("_inter").cast("double") / union.cast("double"), 6)
     return (
@@ -278,8 +308,7 @@ def simhash_near_dup(
     semantics-preserving)."""
     sig = df.select(F.col(id_col).alias("id"), simhash_udf(F.col(text_col)).alias("sig"))
     banded = sig.select(
-        "id",
-        "sig",
+        F.struct("id", "sig").alias("m"),
         F.explode(
             F.array(
                 *[
@@ -291,24 +320,38 @@ def simhash_near_dup(
                 ]
             )
         ).alias("band"),
-    ).select("id", "sig", "band.band_idx", "band.band_val")
+    ).select("m", "band.band_idx", "band.band_val")
+    # one groupBy + HOF pair explosion (single evaluation of the signature
+    # UDF — see _bucket_pairs rationale); the (id, sig) structs ride the
+    # bucket array so hamming is computed directly at explosion time, no
+    # signature join-back. The size filter is the frequent-bucket cap.
+    g = banded.groupBy("band_idx", "band_val").agg(
+        F.array_sort(F.collect_list("m")).alias("ms")
+    )
+    size_ok = F.size("ms") >= 2
     if max_bucket is not None:
-        from pyspark.sql.window import Window
-
-        w = Window.partitionBy("band_idx", "band_val")
-        banded = (
-            banded.withColumn("_bn", F.count(F.lit(1)).over(w))
-            .where(F.col("_bn") <= max_bucket)
-            .drop("_bn")
+        size_ok = size_ok & (F.size("ms") <= max_bucket)
+    g = g.where(size_ok)
+    size = F.size(F.col("ms"))
+    expanded = F.flatten(
+        F.transform(
+            F.col("ms"),
+            lambda x, i: F.transform(
+                F.slice(
+                    F.col("ms"),
+                    i + F.lit(2),
+                    F.greatest(size - i - F.lit(1), F.lit(0)),
+                ),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
         )
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    )
+    hamming = F.bit_count(F.col("p.a.sig").bitwiseXOR(F.col("p.b.sig")))
     return (
-        a.join(b, ["band_idx", "band_val"])
-        .where(F.col("a.id") < F.col("b.id"))
+        g.select(F.explode(expanded).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
             hamming.alias("hamming"),
         )
         .where(F.col("hamming") <= max_hamming)
