@@ -80,9 +80,10 @@ def parse_batch(values: pd.Series) -> pd.DataFrame:
     # comment nesting beyond the default patterns' bound: candidates that
     # failed BOTH grammars but contain >= 2 '(' retry against the depth-128
     # patterns (Rust parity, nom_parser.rs:9,425-450). Scalar loop over a
-    # residual set that is empty on real corpora.
-    resid = values.notna() & ~valid_lax.fillna(False).astype(bool)
-    if resid.any():
+    # residual set that is empty on real corpora; the .all() short-circuit
+    # keeps the all-valid fast path free of extra batch passes.
+    if not bool(valid_lax.all()):
+        resid = values.notna() & ~valid_lax.fillna(False).astype(bool)
         cand = values[resid & (values.str.count(r"\(") >= 2)]
         if len(cand):
             for ix, s in cand.items():

@@ -56,7 +56,19 @@ def parse_email(value: str, is_lax: bool = False) -> Optional[Tuple[str, str]]:
 
 def is_valid_email(value: str, is_lax: bool = False) -> bool:
     """Boolean verdict without capture materialization (email_address.rs:177-179)."""
-    return parse_email(value, is_lax) is not None
+    if value is None:
+        return False
+    if EMAIL_STRICT_RE.fullmatch(value) is not None:
+        return True
+    if is_lax and EMAIL_LAX_RE.fullmatch(value) is not None:
+        return True
+    if maybe_deep_comment(value):
+        deep = deep_patterns(paren_depth_bound(value))
+        if deep[0].fullmatch(value) is not None:
+            return True
+        if is_lax and deep[1].fullmatch(value) is not None:
+            return True
+    return False
 
 
 class ParsingOptions:

@@ -81,7 +81,12 @@ def connected_components(
         .distinct()
         .localCheckpoint()
     )
-    prev_sig = None
+    prev_sig = _signature(cur)
+    if prev_sig[0] == 0:
+        # empty graph (the common case on the collapsed path, where exact
+        # variants become star edges and rep↔rep fuzzy matches are rare):
+        # skip the iteration barriers entirely
+        return cur.select(F.col("u").alias("email"), F.col("v").alias("cluster_id"))
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _signature(cur)

@@ -81,3 +81,18 @@ def test_q1_scan_prunes_and_pushes_filter(spark):
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in explain_str(
         df, "formatted"
     )
+
+
+def test_minhash_near_dup_single_signature_pass(spark):
+    """The banded-minhash candidate stage must evaluate the signature UDF
+    exactly once over the corpus (groupBy + HOF pair explosion): Spark
+    cannot reuse exchanges across pandas-UDF subtrees, so a bucket
+    self-join would silently double the most expensive pass at 100 TB."""
+    from email_address_parser_spark.operators.dedup import minhash_near_dup
+    from email_address_parser_spark.plans import executed_plan
+    from email_address_parser_spark.sources.testdata import load_table
+
+    df = minhash_near_dup(load_table(spark, SF_DIR, "documents"), threshold=0.2)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert plan.count("ArrowEvalPython") == 1, plan
