@@ -147,6 +147,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_features": _mm_features,
         "mm_metadata": _mm_metadata,
         "mm_frames": _mm_frames,
+        # --- training-data assembly (splits / packing / sketch / hygiene) --
+        "doc_splits": _doc_splits,
+        "doc_packing": _doc_packing,
+        "doc_redact": _doc_redact,
+        "dedup_keep_best": _dedup_keep_best,
+        "domain_kmv": _domain_kmv,
     }
 
 
@@ -360,6 +366,39 @@ def _mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     return sample_frames(_docs(spark, sf), stride=16)
 
 
+def _doc_splits(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.sampling import split_assign
+
+    return split_assign(_docs(spark, sf)).select("doc_id", "u", "split")
+
+
+def _doc_packing(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.functions.text_analysis import with_token_counts
+    from email_address_parser_spark.operators.sampling import pack_sequences
+
+    toks = with_token_counts(_docs(spark, sf)).select("doc_id", "source", "n_tokens")
+    return pack_sequences(toks, "n_tokens", budget=2048)
+
+
+def _doc_redact(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.functions.redact import redact_pii
+
+    return redact_pii(_docs(spark, sf))
+
+
+def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.dedup import dedup_keep_best
+
+    return dedup_keep_best(_docs(spark, sf), threshold=0.6)
+
+
+def _domain_kmv(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.sampling import kmv_sketch
+
+    m = _mentions(spark, sf).where(F.col("valid_lax"))
+    return kmv_sketch(m, "domain_canon", "email", k=64)
+
+
 def _cents(col) -> F.Column:
     return F.floor(col * F.lit(10000)).cast("long")
 
@@ -508,6 +547,16 @@ clusters AS (
     SELECT email, min(email) OVER (PARTITION BY match_key) AS cluster_id FROM uniq
 )
 """
+
+
+def _redact_oracle() -> str:
+    from email_address_parser_spark.functions.redact import (
+        EMAIL_TOKEN_RE,
+        IPV4_RE,
+        PHONE_RE,
+    )
+
+    return _oracles.doc_redact_oracle(EMAIL_TOKEN_RE, IPV4_RE, PHONE_RE)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -775,6 +824,11 @@ def oracle_sql() -> dict[str, str]:
                 CAST((doc_id * 53) % 512 + 64 AS INT) AS height,
                 'image/png' AS mime
             FROM documents""",
+        "doc_splits": _oracles.doc_splits_oracle(),
+        "doc_packing": _oracles.doc_packing_oracle(budget=2048),
+        "doc_redact": _redact_oracle(),
+        "dedup_keep_best": _oracles.dedup_keep_best_oracle(threshold=0.6),
+        "domain_kmv": _oracles.domain_kmv_oracle(MENTIONS_EXPECTED_CTE, k=64),
         "mm_frames": r"""
             WITH f AS (
                 SELECT doc_id, text,

@@ -357,3 +357,50 @@ def simhash_near_dup(
         .where(F.col("hamming") <= max_hamming)
         .dropDuplicates(["id_a", "id_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# 5. near-dup clusters + canonical selection (the "keep best" dedup policy)
+# ---------------------------------------------------------------------------
+
+
+def dedup_keep_best(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str = "source",
+    threshold: float = 0.6,
+) -> DataFrame:
+    """→ (id, cluster_id, quality_score, is_kept): word-bigram-Jaccard
+    near-dup edges (within blocks) → connected components (the same
+    large-star/small-star operator the identity pipeline uses, F11) →
+    keep exactly one doc per cluster: highest quality_score, ties to the
+    lowest id. This is the standard "collapse near-duplicates, keep the
+    best exemplar" policy of a training-data pipeline; every piece is a
+    bounded-block or per-cluster operation, nothing all-pairs."""
+    from ..functions.text_analysis import with_quality
+    from .cc import connected_components
+
+    edges = ngram_jaccard_pairs(
+        df, block_col=block_col, text_col=text_col, id_col=id_col, threshold=threshold
+    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    assigned = connected_components(edges).select(
+        F.col("email").alias("id"), F.col("cluster_id")
+    )
+    quality = with_quality(df).select(F.col(id_col).alias("id"), "quality_score")
+    clustered = (
+        df.select(F.col(id_col).alias("id"))
+        .join(assigned, "id", "left")
+        .select("id", F.coalesce("cluster_id", F.col("id")).alias("cluster_id"))
+        .join(quality, "id")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("quality_score"), F.asc("id")
+    )
+    return clustered.withColumn(
+        "is_kept", F.row_number().over(w) == F.lit(1)
+    ).select(
+        F.col("id").alias(id_col), "cluster_id", "quality_score", "is_kept"
+    )

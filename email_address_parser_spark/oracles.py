@@ -275,3 +275,143 @@ r AS (
 )
 SELECT query_id, neighbor_id, cosine, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {k}"""
+
+
+# ---------------------------------------------------------------------------
+# training-data assembly oracles (splits / packing / sketch / redact / keep-best)
+# ---------------------------------------------------------------------------
+
+_HEX8 = (
+    "list_reduce(list_transform(range(1, 9), j -> CAST(strpos('0123456789abcdef', "
+    "substr(md5({arg}), CAST(j AS INT), 1)) - 1 AS BIGINT)), (acc, x) -> acc * 16 + x)"
+)
+_HEX15 = (
+    "list_reduce(list_transform(range(1, 16), j -> CAST(strpos('0123456789abcdef', "
+    "substr(md5({arg}), CAST(j AS INT), 1)) - 1 AS BIGINT)), (acc, x) -> acc * 16 + x)"
+)
+
+
+def doc_splits_oracle(weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt="split") -> str:
+    """Thresholds accumulate in PYTHON float arithmetic and are embedded via
+    repr() so the SQL compares against bit-identical doubles (0.8 + 0.1 is
+    not the literal 0.9 in IEEE754)."""
+    case = "CASE"
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        case += f" WHEN u < {acc!r} THEN '{name}'"
+    case += f" ELSE '{weights[-1][0]}' END"
+    h = _HEX8.format(arg=f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return f"""
+WITH raw AS (
+    SELECT *, {h} / 4294967296.0 AS _u FROM documents
+)
+SELECT doc_id, round(_u, 9) AS u, {case.replace('u <', '_u <')} AS split
+FROM raw"""
+
+
+def doc_redact_oracle(email_re: str, ipv4_re: str, phone_re: str) -> str:
+    return f"""
+SELECT doc_id,
+    CAST(len(regexp_extract_all(text, '{email_re}')) AS INT) AS n_emails,
+    CAST(len(regexp_extract_all(text, '{ipv4_re}')) AS INT) AS n_ips,
+    CAST(len(regexp_extract_all(text, '{phone_re}')) AS INT) AS n_phones,
+    regexp_replace(regexp_replace(regexp_replace(text,
+        '{email_re}', '[EMAIL]', 'g'),
+        '{ipv4_re}', '[IP]', 'g'),
+        '{phone_re}', '[PHONE]', 'g') AS redacted
+FROM documents"""
+
+
+_QUALITY_CTE = r"""
+qs AS (
+    SELECT doc_id,
+        round(0.4 * (n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+            + 0.3 * (1.0 - (n_chars - n_ws - n_alpha - n_digit) / CAST(greatest(n_chars, 1) AS DOUBLE))
+            + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+            length(text) AS n_chars,
+            len(regexp_extract_all(text, '\s')) AS n_ws,
+            len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+            len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+            len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents
+    )
+)"""
+
+
+def dedup_keep_best_oracle(threshold: float = 0.6) -> str:
+    """Connected components replayed with a RECURSIVE min-root walk over the
+    near-dup graph — the SQL ground truth for the Spark large-star/small-star
+    operator on a second domain (documents)."""
+    return rf"""
+WITH RECURSIVE g AS (
+    SELECT doc_id AS id, source AS block,
+        list_distinct(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)),
+                     i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM (SELECT doc_id, source,
+              regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
+          FROM documents)
+),
+p AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM g a JOIN g b ON a.block = b.block AND a.id < b.id
+    WHERE round(len(list_intersect(a.grams, b.grams))
+        / CAST(greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS DOUBLE),
+        6) >= {threshold}
+),
+sym AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+walk(id, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.b, w.root FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM walk GROUP BY id),
+{_QUALITY_CTE},
+r AS (
+    SELECT c.doc_id, c.cluster_id, qs.quality_score,
+        row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY qs.quality_score DESC, c.doc_id ASC) AS rn
+    FROM comp c JOIN qs USING (doc_id)
+)
+SELECT doc_id, cluster_id, quality_score, rn = 1 AS is_kept FROM r"""
+
+
+def domain_kmv_oracle(mentions_cte: str, k: int = 64) -> str:
+    h = _HEX15.format(arg="email")
+    scale = float(1 << 60)
+    return f"""{mentions_cte},
+uniqv AS (
+    SELECT DISTINCT domain_canon, email FROM mentions_expected WHERE valid_lax
+),
+hashed AS (SELECT domain_canon, {h} AS h FROM uniqv),
+agg AS (
+    SELECT domain_canon, CAST(count(*) AS BIGINT) AS n_exact,
+        (list_sort(list(h)))[1:{k}] AS mins
+    FROM hashed GROUP BY domain_canon
+)
+SELECT domain_canon, n_exact,
+    CASE WHEN n_exact < {k} THEN CAST(n_exact AS DOUBLE)
+         ELSE round({float(k - 1)!r} / (mins[{k}] / {scale!r}), 6) END AS kmv_estimate
+FROM agg"""
+
+
+def doc_packing_oracle(budget: int = 2048) -> str:
+    return rf"""
+WITH t AS (
+    SELECT doc_id, source,
+        CAST(len(regexp_extract_all(text, '\S+')) AS INT) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT doc_id, source, n_tokens,
+        CAST(COALESCE(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+    FROM t
+)
+SELECT doc_id, source, n_tokens, cum_before,
+    CAST(floor(CAST(cum_before AS DOUBLE) / {budget}) AS BIGINT) AS bin_id
+FROM c"""

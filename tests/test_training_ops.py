@@ -257,3 +257,82 @@ def test_sample_frames(spark):
     out = sorted(sample_frames(docs, stride=16).collect(), key=lambda r: r.frame_idx)
     assert [r.frame_idx for r in out] == [0, 1, 2]
     assert all(r.frame_code == ord("a") for r in out)
+
+
+# ---------------------------------------------------------------------------
+# training-data assembly (splits / packing / sketch / hygiene)
+# ---------------------------------------------------------------------------
+
+
+def test_split_assign_deterministic_and_stratified(spark):
+    from email_address_parser_spark.operators.sampling import split_assign
+
+    docs = spark.createDataFrame([Row(doc_id=i, text="x") for i in range(2000)])
+    a = {r.doc_id: r.split for r in split_assign(docs).collect()}
+    b = {r.doc_id: r.split for r in split_assign(docs.repartition(7)).collect()}
+    assert a == b  # partitioning cannot move a row between splits
+    from collections import Counter
+
+    c = Counter(a.values())
+    assert 0.75 < c["train"] / 2000 < 0.85
+    assert 0.05 < c["val"] / 2000 < 0.15
+    # a different salt re-draws
+    c2 = {r.doc_id: r.split for r in split_assign(docs, salt="v2").collect()}
+    assert c2 != a
+
+
+def test_pack_sequences_budget_and_order(spark):
+    from email_address_parser_spark.operators.sampling import pack_sequences
+
+    rows = [Row(doc_id=i, source="s0", n_tokens=100) for i in range(10)]
+    out = sorted(
+        pack_sequences(spark.createDataFrame(rows), "n_tokens", budget=250).collect(),
+        key=lambda r: r.doc_id,
+    )
+    # 100-token docs into 250-token bins: docs 0,1,2 -> bin 0 (cum 0,100,200),
+    # docs 3,4 -> bin 1 (300,400), ...
+    assert [r.bin_id for r in out] == [0, 0, 0, 1, 1, 2, 2, 2, 3, 3]
+    assert [r.cum_before for r in out] == [100 * i for i in range(10)]
+
+
+def test_kmv_sketch_accuracy(spark):
+    from email_address_parser_spark.operators.sampling import kmv_sketch
+
+    rows = [
+        Row(g="big", v=f"val{i}") for i in range(5000)
+    ] + [Row(g="small", v=f"v{i}") for i in range(10)]
+    out = {r.g: r for r in kmv_sketch(spark.createDataFrame(rows), "g", "v", k=64).collect()}
+    assert out["small"].kmv_estimate == 10.0  # exact below k
+    assert out["big"].n_exact == 5000
+    assert abs(out["big"].kmv_estimate - 5000) / 5000 < 0.35  # k=64 -> ~12% rse
+
+
+def test_redact_pii(spark):
+    from email_address_parser_spark.functions.redact import redact_pii
+
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="mail a.b@c.org or call +1 (555) 123-4567 from 10.0.0.1"),
+            Row(doc_id=2, text="nothing sensitive here"),
+        ]
+    )
+    out = {r.doc_id: r for r in redact_pii(docs).collect()}
+    assert (out[1].n_emails, out[1].n_ips, out[1].n_phones) == (1, 1, 1)
+    assert "[EMAIL]" in out[1].redacted and "[IP]" in out[1].redacted
+    assert "a.b@c.org" not in out[1].redacted and "555" not in out[1].redacted
+    assert out[2].redacted == "nothing sensitive here"
+
+
+def test_dedup_keep_best_clusters(spark):
+    from email_address_parser_spark.operators.dedup import dedup_keep_best
+
+    out = {r.doc_id: r for r in dedup_keep_best(_dup_corpus(spark), threshold=0.5).collect()}
+    # docs 1,2,3 are one near-dup cluster; 4 and 5 are singletons
+    assert out[1].cluster_id == out[2].cluster_id == out[3].cluster_id == 1
+    assert out[4].cluster_id == 4 and out[5].cluster_id == 5
+    kept = [d for d, r in out.items() if r.is_kept]
+    assert len(kept) == 3  # one per cluster
+    cluster1_kept = [d for d in (1, 2, 3) if out[d].is_kept]
+    assert len(cluster1_kept) == 1
+    best = max((1, 2, 3), key=lambda d: (out[d].quality_score, -d))
+    assert cluster1_kept[0] == best
