@@ -9,9 +9,13 @@ Public surface (see SURVEY.md §2 for the operator inventory):
   operators.blocking    — salted domain blocks + MinHash-LSH + reps (F6-F8)
   operators.scoring     — JW/Levenshtein pairwise scorer + match edges (F9-F10)
   operators.cc          — large-star/small-star connected components (F11)
-  operators.dedup       — exact/Jaccard/MinHash/SimHash document dedup
-  operators.similarity  — cosine ANN (brute-force + hyperplane LSH)
+  operators.dedup       — exact/Jaccard/MinHash/SimHash dedup + keep-best
+  operators.similarity  — cosine ANN (brute-force + hyperplane LSH + IVF)
+  operators.sampling    — hash splits, sequence packing, KMV sketches
   operators.multimodal  — binary payload plumbing (mapInPandas, stubbed decode)
+  functions.redact      — PII redaction (engine-portable regexes)
+  plans                 — physical-plan audit helpers (tests / ops)
+  oracles               — DuckDB replay SQL for the engine-hash operators
   streaming.extract_stream — Structured Streaming extraction + windowed rollups
   pipeline              — checkpoint/resume orchestration + clustering
   session               — SparkSession factory (AQE/Arrow/UTC defaults)
