@@ -191,3 +191,29 @@ def run_once_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def streaming_exact_dedup(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ts_col: str = "ts",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: emit each normalized-text
+    fingerprint ONCE across micro-batches (G1's streaming twin).
+
+    `dropDuplicates` keeps per-key state; the event-time watermark bounds it
+    — a fingerprint older than the watermark is evicted, so state size is
+    (unique docs per watermark horizon), not (all docs ever). At 10^12-doc
+    scale this is the dedup-at-the-door stage; the periodic batch dedup
+    (operators/dedup.py) remains the ground-truth compactor behind it.
+    Fingerprint = md5(normalized text), identical to exact_dedup's."""
+    from ..functions.text_analysis import normalized_text
+
+    fp = docs.select(
+        F.col(id_col),
+        F.col(ts_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fp_md5"),
+    )
+    return fp.withWatermark(ts_col, watermark).dropDuplicates(["fp_md5"])

@@ -103,3 +103,51 @@ def test_conversation_state_counts(spark, tmp_path):
     assert final["c1"].n_valid == 3
     assert final["c1"].n_distinct_domains == 2
     assert final["c2"].n_valid == 1
+
+
+def test_streaming_exact_dedup(spark, tmp_path):
+    """The watermarked streaming dedup emits each fingerprint exactly once
+    across micro-batches, matching the batch exact_dedup canonical set."""
+    import datetime
+
+    from pyspark.sql import Row
+
+    from email_address_parser_spark.operators.dedup import exact_dedup
+    from email_address_parser_spark.streaming.extract_stream import (
+        streaming_exact_dedup,
+    )
+
+    t0 = datetime.datetime(2026, 1, 1)
+    rows = [
+        Row(doc_id=1, text="alpha beta gamma", ts=t0),
+        Row(doc_id=2, text="  ALPHA beta   gamma ", ts=t0),  # dup of 1
+        Row(doc_id=3, text="something else", ts=t0),
+        Row(doc_id=4, text="alpha beta gamma", ts=t0),       # dup of 1
+        Row(doc_id=5, text="fifth document", ts=t0),
+    ]
+    src = tmp_path / "docs_in"
+    # two separate files → at least two micro-batches with maxFilesPerTrigger=1
+    spark.createDataFrame(rows[:3]).write.mode("overwrite").parquet(str(src / "a"))
+    spark.createDataFrame(rows[3:]).write.mode("append").parquet(str(src / "a"))
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(src / "a"))
+    )
+    out = tmp_path / "dedup_out"
+    q = (
+        streaming_exact_dedup(stream)
+        .writeStream.format("parquet")
+        .option("path", str(out))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(str(out))
+    fps = [r.fp_md5 for r in got.collect()]
+    assert len(fps) == len(set(fps))  # each fingerprint exactly once
+    batch = exact_dedup(spark.createDataFrame(rows))
+    batch_fps = {r.fp_md5 for r in batch.collect()}
+    assert set(fps) == batch_fps  # same fingerprint universe as batch dedup
