@@ -164,18 +164,29 @@ DOMAIN_LAX_RE = re.compile(DOMAIN_OBS)
 # whitespace, anything else ctext/quoted-pair), so possessive quantifiers
 # ((?:...)*+ — Python 3.11+) preserve the language while making matching
 # linear: no backtracking blowup even on adversarial unclosed 128-deep input.
+# On an interpreter whose `re` lacks possessive support (< 3.11) the probe
+# below degrades to plain greedy quantifiers — same language (possessive only
+# prunes backtracking), so verdicts are identical; only the adversarial-input
+# worst case slows down. Without the probe, deep_patterns() would raise
+# re.error inside the UDF on a 3.10 executor instead of returning a verdict.
 
 MAX_COMMENT_DEPTH = 128
 
-_FWS_P = r"(?:\r\n)?[ \t](?:[ \t]|\r\n[ \t])*+"
-_FWS_OPT_P = f"(?:{_FWS_P})?+"
+try:  # possessive quantifiers require Python >= 3.11
+    re.compile("a*+")
+    _PSTAR, _POPT = "*+", "?+"
+except re.error:  # pragma: no cover — container runs 3.11
+    _PSTAR, _POPT = "*", "?"
+
+_FWS_P = rf"(?:\r\n)?[ \t](?:[ \t]|\r\n[ \t]){_PSTAR}"
+_FWS_OPT_P = f"(?:{_FWS_P}){_POPT}"
 
 
 def _comment_pattern(depth: int) -> str:
-    inner = f"(?:{_FWS_OPT_P}{_CCONTENT_FLAT})*+{_FWS_OPT_P}"
+    inner = f"(?:{_FWS_OPT_P}{_CCONTENT_FLAT}){_PSTAR}{_FWS_OPT_P}"
     pat = f"\\({inner}\\)"
     for _ in range(depth - 1):
-        pat = f"\\((?:{_FWS_OPT_P}(?:{_CCONTENT_FLAT}|{pat}))*+{_FWS_OPT_P}\\)"
+        pat = f"\\((?:{_FWS_OPT_P}(?:{_CCONTENT_FLAT}|{pat})){_PSTAR}{_FWS_OPT_P}\\)"
     return pat
 
 

@@ -302,7 +302,7 @@ def simhash_near_dup(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
-    max_bucket: int = None,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """→ (id_a, id_b, hamming ≤ max_hamming). Candidates via 4×16-bit band
     equality, then exact popcount filter via bit_count(a XOR b) — all

@@ -139,14 +139,34 @@ class CheckpointManager:
         return self.save(name, compute())
 
 
+def _kernel_token() -> str:
+    """Digest of the code-level inputs that change stage CONTENT without any
+    PipelineConfig field moving: the library version plus the fixed-seed
+    minhash constants (the LSH channel's hash family). A kernel change with
+    an unchanged config must invalidate checkpointed stage tables (round-2
+    ADVICE — this exact situation occurred when the minhash family changed)."""
+    import hashlib
+
+    from . import __version__
+    from .operators.blocking import minhash_oracle_sql_parts
+
+    payload = json.dumps(
+        {"version": __version__, "minhash": minhash_oracle_sql_parts()},
+        sort_keys=True,
+    )
+    return hashlib.md5(payload.encode()).hexdigest()
+
+
 def config_fingerprint(cfg: "PipelineConfig") -> str:
     """Stable digest of the PipelineConfig fields that change stage CONTENT
     (checkpoint_dir/resume/stage_partitions only affect placement, not
-    values, and are excluded)."""
+    values, and are excluded), plus a kernel/code version token so kernel
+    changes invalidate stale checkpoints even with an identical config."""
     import hashlib
 
     payload = json.dumps(
         {
+            "kernel": _kernel_token(),
             "threshold": cfg.threshold,
             "hot_threshold": cfg.hot_threshold,
             "target_block_size": cfg.target_block_size,

@@ -203,10 +203,13 @@ def streaming_exact_dedup(
     """Continuous-ingestion exact dedup: emit each normalized-text
     fingerprint ONCE across micro-batches (G1's streaming twin).
 
-    `dropDuplicates` keeps per-key state; the event-time watermark bounds it
-    — a fingerprint older than the watermark is evicted, so state size is
-    (unique docs per watermark horizon), not (all docs ever). At 10^12-doc
-    scale this is the dedup-at-the-door stage; the periodic batch dedup
+    State is bounded by `dropDuplicatesWithinWatermark`: fingerprints whose
+    event time falls behind the watermark are EVICTED (plain
+    dropDuplicates(["fp_md5"]) would keep every fingerprint ever seen —
+    unbounded state on a continuous stream). State size is therefore
+    (unique docs per watermark horizon), not (all docs ever); a duplicate
+    arriving after its original left the horizon is re-emitted, which is
+    exactly the contract of dedup-at-the-door — the periodic batch dedup
     (operators/dedup.py) remains the ground-truth compactor behind it.
     Fingerprint = md5(normalized text), identical to exact_dedup's."""
     from ..functions.text_analysis import normalized_text
@@ -216,4 +219,6 @@ def streaming_exact_dedup(
         F.col(ts_col),
         F.md5(normalized_text(F.col(text_col))).alias("fp_md5"),
     )
-    return fp.withWatermark(ts_col, watermark).dropDuplicates(["fp_md5"])
+    return fp.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        ["fp_md5"]
+    )
