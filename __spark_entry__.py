@@ -377,7 +377,9 @@ def _doc_packing(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.sampling import pack_sequences
 
     toks = with_token_counts(_docs(spark, sf)).select("doc_id", "source", "n_tokens")
-    return pack_sequences(toks, "n_tokens", budget=2048)
+    # shard_width=128 exercises the hierarchical (multi-shard) path even at
+    # sf0.01 (500 docs); bin ids are shard-width-invariant by construction
+    return pack_sequences(toks, "n_tokens", budget=2048, shard_width=128)
 
 
 def _doc_redact(spark: SparkSession, sf: str) -> DataFrame:

@@ -66,20 +66,60 @@ def pack_sequences(
     budget: int = 2048,
     part_col: str = "source",
     order_col: str = "doc_id",
+    shard_width: int = 1 << 17,
 ) -> DataFrame:
     """→ df + (cum_before bigint, bin_id bigint): doc d goes to bin
     floor(cum_before / budget) where cum_before is the running token total of
-    earlier docs in its stratum (ORDER BY order_col). The window partitions
-    by `part_col`, so at scale each stratum sorts independently — no global
-    ordering bottleneck."""
-    w = (
-        Window.partitionBy(part_col)
+    earlier docs in its stratum (ORDER BY order_col).
+
+    Hierarchical prefix sum (round-2 VERDICT item 4): a single window per
+    stratum puts an ENTIRE source in one task — ten sources ⇒ ten tasks
+    regardless of cluster size. Instead:
+
+      1. shard = floor(order_col / shard_width). Floor-division buckets are
+         CONTIGUOUS intervals of the order column, so packing within
+         (source, shard) plus the cumulative total of earlier shards yields
+         BIT-IDENTICAL cum_before/bin_id to the unsharded running sum — the
+         oracle needs no sharded replay.
+      2. the within-shard running sum windows over (source, shard): task
+         parallelism is (strata × shards), each sorting ≤ shard_width rows.
+      3. per-shard token totals are a tiny aggregate (one row per shard);
+         their running sum per source (the shard offset) windows over that
+         tiny table and broadcast-joins back.
+
+    order_col must be numeric for the shard arithmetic (doc ids here)."""
+    sharded = df.withColumn(
+        "_shard", F.floor(F.col(order_col) / F.lit(shard_width)).cast("long")
+    )
+    w_in = (
+        Window.partitionBy(part_col, "_shard")
         .orderBy(order_col)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
-    cum = F.coalesce(F.sum(F.col(token_col)).over(w), F.lit(0)).cast("long")
-    return df.withColumn("cum_before", cum).withColumn(
-        "bin_id", F.floor(F.col("cum_before") / F.lit(budget)).cast("long")
+    within = F.coalesce(F.sum(F.col(token_col)).over(w_in), F.lit(0)).cast("long")
+    totals = sharded.groupBy(part_col, "_shard").agg(
+        F.sum(F.col(token_col)).alias("_shard_total")
+    )
+    w_sh = (
+        Window.partitionBy(part_col)
+        .orderBy("_shard")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = totals.select(
+        part_col,
+        "_shard",
+        F.coalesce(F.sum("_shard_total").over(w_sh), F.lit(0))
+        .cast("long")
+        .alias("_shard_offset"),
+    )
+    cum = (F.col("_shard_offset") + within).cast("long")
+    return (
+        sharded.join(F.broadcast(offsets), [part_col, "_shard"])
+        .withColumn("cum_before", cum)
+        .withColumn(
+            "bin_id", F.floor(F.col("cum_before") / F.lit(budget)).cast("long")
+        )
+        .drop("_shard", "_shard_offset")
     )
 
 
@@ -88,25 +128,42 @@ def kmv_sketch(
     group_col: str,
     value_col: str,
     k: int = 64,
+    n_partials: int = 32,
 ) -> DataFrame:
     """→ (group, n_exact, kmv_estimate): per group, the exact distinct count
     (for the oracle comparison; at 100 TB you would drop this column) and
     the KMV estimate from the k smallest 60-bit md5 draws of the DISTINCT
     values. estimate = (k-1)/u_k when ≥ k values, else the exact count.
 
-    collect_list is bounded: the input to the aggregate is the per-group
-    distinct value set hashed to 60-bit longs; on a real deployment the k
-    minima are maintained with a partial aggregate (min-merge of sorted
-    arrays) so nothing unbounded crosses the shuffle — here array_sort +
-    slice expresses the same result in a form DuckDB replays verbatim."""
+    Mergeable two-level shape (round-2 VERDICT item 3): level 1 takes the k
+    minima within each of n_partials SALTED sub-groups (salt = _h mod
+    n_partials — result-invariant, so the salt needs no oracle replay; each
+    aggregation buffer sees ~1/n_partials of the group's distinct hashes and
+    emits ≤ k values), level 2 min-merges the ≤ n_partials·k partials per
+    group (bounded buffer). Minima are associative, so the merged k minima —
+    and therefore the estimate the DuckDB oracle computes from one global
+    sort — are exact. Scale n_partials with the expected per-group distinct
+    count to bound level-1 state; prod would additionally drop the exact
+    distinct() pre-pass (duplicates cannot change minima; n_exact is the
+    oracle-comparison column, not part of the sketch)."""
     h = F.conv(F.substring(F.md5(F.col(value_col).cast("string")), 1, 15), 16, 10).cast(
         "long"
     )
     per_value = df.select(F.col(group_col).alias("grp"), F.col(value_col)).distinct()
     hashed = per_value.select("grp", h.alias("_h"))
-    agg = hashed.groupBy("grp").agg(
-        F.count(F.lit(1)).alias("n_exact"),
-        F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_mins"),
+    partial = (
+        hashed.withColumn("_salt", F.pmod(F.col("_h"), F.lit(n_partials)))
+        .groupBy("grp", "_salt")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.slice(F.array_sort(F.collect_list("_h")), 1, k).alias("_pmins"),
+        )
+    )
+    agg = partial.groupBy("grp").agg(
+        F.sum("_n").cast("long").alias("n_exact"),
+        F.slice(F.array_sort(F.flatten(F.collect_list("_pmins"))), 1, k).alias(
+            "_mins"
+        ),
     )
     u_k = F.element_at("_mins", k) / F.lit(_SCALE60)
     est = F.when(F.col("n_exact") < F.lit(k), F.col("n_exact").cast("double")).otherwise(
