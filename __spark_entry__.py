@@ -152,6 +152,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_packing": _doc_packing,
         "doc_redact": _doc_redact,
         "dedup_keep_best": _dedup_keep_best,
+        "dedup_keep_best_lsh": _dedup_keep_best_lsh,  # LSH buckets as block key
         "domain_kmv": _domain_kmv,
     }
 
@@ -392,6 +393,15 @@ def _dedup_keep_best(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.dedup import dedup_keep_best
 
     return dedup_keep_best(_docs(spark, sf), threshold=0.6)
+
+
+def _dedup_keep_best_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.dedup import dedup_keep_best
+
+    # banded minhash buckets as the block key (no metadata column): the
+    # 100 TB-shape of keep-best dedup; threshold matches dedup_minhash so
+    # the edge set is the oracle-replayed verified pair set
+    return dedup_keep_best(_docs(spark, sf), threshold=0.2, use_lsh=True)
 
 
 def _domain_kmv(spark: SparkSession, sf: str) -> DataFrame:
@@ -830,6 +840,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": _oracles.doc_packing_oracle(budget=2048),
         "doc_redact": _redact_oracle(),
         "dedup_keep_best": _oracles.dedup_keep_best_oracle(threshold=0.6),
+        "dedup_keep_best_lsh": _oracles.dedup_keep_best_lsh_oracle(
+            threshold=0.2, max_bucket=64
+        ),
         "domain_kmv": _oracles.domain_kmv_oracle(MENTIONS_EXPECTED_CTE, k=64),
         "mm_frames": r"""
             WITH f AS (

@@ -74,7 +74,18 @@ def connected_components(
 
     Nodes with no surviving edge are the caller's responsibility (a mention
     that matched nothing is its own cluster — see pipeline.cluster_mentions).
-    """
+
+    Int-surrogate loop (round-2 VERDICT item 6): the iterations shuffle
+    dense int64 node ids, not email strings — at 10^12-turn scale the loop
+    re-shuffles its edge set ~2× per round, so the per-row payload is the
+    dominant byte cost. Surrogates come from monotonically_increasing_id on
+    the distinct node set (collision-free by construction — no hash-collision
+    audit needed), frozen with localCheckpoint because mono ids are not
+    stable across recomputation. The cluster-id contract (min EMAIL of the
+    component) survives the arbitrary int order: any total order converges
+    to one root per component, and a single post-loop aggregate re-labels
+    each component with min(email) — so callers and the DuckDB oracle see
+    byte-identical output."""
     cur = (
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
         .where(F.col("u") != F.col("v"))
@@ -87,6 +98,26 @@ def connected_components(
         # variants become star edges and rep↔rep fuzzy matches are rare):
         # skip the iteration barriers entirely
         return cur.select(F.col("u").alias("email"), F.col("v").alias("cluster_id"))
+
+    nodes = cur.select(
+        F.explode(F.array(F.col("u"), F.col("v"))).alias("email")
+    ).distinct()
+    mapping = nodes.withColumn(
+        "_nid", F.monotonically_increasing_id()
+    ).localCheckpoint()
+    cur = (
+        cur.join(
+            mapping.select(F.col("email").alias("u"), F.col("_nid").alias("_u")),
+            "u",
+        )
+        .join(
+            mapping.select(F.col("email").alias("v"), F.col("_nid").alias("_v")),
+            "v",
+        )
+        .select(F.col("_u").alias("u"), F.col("_v").alias("v"))
+        .localCheckpoint()
+    )
+    prev_sig = _signature(cur)
     for _ in range(max_iterations):
         cur = _small_star(_large_star(cur)).localCheckpoint()
         sig = _signature(cur)
@@ -98,7 +129,18 @@ def connected_components(
             f"connected_components did not converge in {max_iterations} iterations"
         )
 
-    # converged: every edge is (node, root); roots map to themselves
-    assignments = cur.select(F.col("u").alias("email"), F.col("v").alias("cluster_id"))
-    roots = cur.select(F.col("v").alias("email"), F.col("v").alias("cluster_id")).distinct()
-    return assignments.union(roots).distinct()
+    # converged: every edge is (node, root); roots map to themselves; the
+    # component label becomes min(email) via one aggregate + broadcast-able
+    # join on the (small) per-component root table
+    assignments = cur.select(F.col("u").alias("_nid"), F.col("v").alias("_root"))
+    roots = cur.select(
+        F.col("v").alias("_nid"), F.col("v").alias("_root")
+    ).distinct()
+    with_email = (
+        assignments.union(roots)
+        .distinct()
+        .join(mapping, "_nid")
+        .select("email", "_root")
+    )
+    root_min = with_email.groupBy("_root").agg(F.min("email").alias("cluster_id"))
+    return with_email.join(root_min, "_root").select("email", "cluster_id")

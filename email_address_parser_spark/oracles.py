@@ -31,13 +31,15 @@ from .operators.similarity import LSH_BITS, _PLANES
 # ---------------------------------------------------------------------------
 
 
-def dedup_minhash_oracle(threshold: float = 0.2, max_bucket: int = 64) -> str:
+def _minhash_verified_cte(max_bucket: int = 64) -> str:
+    """CTE chain (no WITH keyword) replaying the banded-minhash candidate
+    generation + exact word-bigram-Jaccard verification: ... , verified(id_a,
+    id_b, jaccard). Shared by dedup_minhash and the LSH keep-best oracle."""
     p = minhash_oracle_sql_parts()
     ab_pairs = ", ".join(f"[{a}, {b}]" for a, b in zip(p["a"], p["b"]))
     P, M, C = p["p_gram"], p["m31"], p["band_mult"]
     rpb, nb = p["rows_per_band"], p["n_bands"]
-    return rf"""
-WITH d AS (
+    return rf"""d AS (
     SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
     FROM documents
 ),
@@ -96,8 +98,38 @@ verified AS (
     FROM cand
     JOIN g ga ON ga.id = cand.id_a
     JOIN g gb ON gb.id = cand.id_b
+)"""
+
+
+def dedup_minhash_oracle(threshold: float = 0.2, max_bucket: int = 64) -> str:
+    return (
+        f"WITH {_minhash_verified_cte(max_bucket)}\n"
+        f"SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}"
+    )
+
+
+def dedup_keep_best_lsh_oracle(threshold: float = 0.2, max_bucket: int = 64) -> str:
+    """LSH-blocked keep-best: minhash banded candidates → verified Jaccard
+    edges ≥ threshold → RECURSIVE min-root components → best exemplar per
+    cluster (quality desc, id asc)."""
+    return rf"""
+WITH RECURSIVE {_minhash_verified_cte(max_bucket)},
+p AS (SELECT id_a, id_b FROM verified WHERE jaccard >= {threshold}),
+sym AS (SELECT id_a AS a, id_b AS b FROM p UNION ALL SELECT id_b, id_a FROM p),
+walk(id, root) AS (
+    SELECT doc_id, doc_id FROM documents
+    UNION
+    SELECT s.b, w.root FROM walk w JOIN sym s ON s.a = w.id
+),
+comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM walk GROUP BY id),
+{_QUALITY_CTE},
+r AS (
+    SELECT c.doc_id, c.cluster_id, qs.quality_score,
+        row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY qs.quality_score DESC, c.doc_id ASC) AS rn
+    FROM comp c JOIN qs USING (doc_id)
 )
-SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= {threshold}"""
+SELECT doc_id, cluster_id, quality_score, rn = 1 AS is_kept FROM r"""
 
 
 # ---------------------------------------------------------------------------

@@ -26,6 +26,26 @@ from typing import Optional
 from pyspark.sql import DataFrame, SparkSession
 
 
+ICEBERG_RUNTIME = "org.apache.iceberg:iceberg-spark-runtime-4.0_2.13"
+
+
+def iceberg_submit_conf(
+    catalog: str = "lake",
+    uri: str = "http://rest-catalog:8181",
+    catalog_type: str = "rest",
+    runtime_version: str = "1.9.0",
+) -> dict:
+    """The spark-submit configuration that turns this seam on in prod (the
+    docstring's recipe as data, so deploy tooling and tests consume one
+    source of truth)."""
+    return {
+        "spark.jars.packages": f"{ICEBERG_RUNTIME}:{runtime_version}",
+        f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
+        f"spark.sql.catalog.{catalog}.type": catalog_type,
+        f"spark.sql.catalog.{catalog}.uri": uri,
+    }
+
+
 def iceberg_available(spark: SparkSession, catalog: str = "lake") -> bool:
     """True when an Iceberg catalog is configured on this session."""
     conf = spark.conf
