@@ -275,6 +275,7 @@ def candidate_pairs(
     collapse_exact: bool = False,
     dedupe: bool = True,
     uniq: DataFrame = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """→ (email_a, email_b, local_canon_a/b, domain_canon_a/b), each unordered
     pair once. Union of the exact-domain-salted channel and the LSH channel.
@@ -284,10 +285,38 @@ def candidate_pairs(
       * collapse_exact — run the quadratic stages over one representative
         per match_key instead of every distinct email; pair with
         exact_match_edges() for the within-key guaranteed matches.
-      * dedupe=False — skip the full-pair-set dropDuplicates shuffle; the
-        few duplicated candidates (LSH multi-band + channel overlap) score
+      * dedupe=False — skip the LSH-channel dropDuplicates shuffle; the
+        few duplicated candidates (LSH multi-band collisions) score
         identically, and match_edges de-duplicates the far smaller edge
-        set instead."""
+        set instead.
+
+    The two channels are DISJOINT by construction, so no full-pair-set
+    dedup shuffle ever runs (round-3: this removed the single biggest
+    exchange in er_pairs_scored — the wide 2M-row dropDuplicates):
+      * every LSH pair shares domain_canon (join key), so in a non-hot
+        domain both sides carry block_key == domain_canon and the pair is
+        already generated by the exact channel;
+      * in a hot domain, a same-salt-bucket pair shares block_key and is
+        likewise an exact-channel pair;
+      * therefore the LSH channel keeps ONLY cross-block pairs
+        (block_key_a != block_key_b — the typo'd locals whose dotless
+        hashes landed in different salt buckets), which the exact channel
+        can never produce. Exact-channel pairs are unique outright (one
+        block_key per email ⇒ one join hit per pair); LSH multi-band
+        duplicates are removed within the (far smaller) channel when
+        dedupe=True.
+
+    materialize (default True) persists the blocked distinct-email dim:
+    the plan references it five times (two exact-join sides, two LSH-join
+    sides, the bucket-size aggregate), and without a cache each reference
+    re-runs the distinct + hot-domain subtree — Spark's compile-time plan
+    shows zero ReusedExchange across them. The dim is O(|distinct emails|)
+    (tiny next to the pair set; the 100 TB pipeline checkpoints this very
+    table — pipeline.py persists uniq for the same reason), the cache entry
+    is keyed by logical plan so repeated identical calls share it, and
+    eviction is LRU. Measured same-session pinned A/B at sf0.1 ×3 runs:
+    old overlapping-channels plan best 15.1 s, disjoint+persist best 7.5 s
+    for the full score_pairs chain."""
     if collapse_exact:
         uniq = match_key_representatives(mentions, uniq=uniq)
     elif uniq is not None:
@@ -295,6 +324,8 @@ def candidate_pairs(
     else:
         uniq = _unique_mentions(mentions)
     blocked = with_salted_domain_block(uniq, hot_threshold, target_block_size)
+    if materialize:
+        blocked = blocked.persist()
 
     # The self-join carries all pair columns through its exchange: measured
     # at replicated scale (x32 corpus, 1.7M distinct emails), generating
@@ -303,12 +334,15 @@ def candidate_pairs(
     # attach joins are full sort-merge shuffles of the pair set, costing
     # more than the wider payload ever did. Exchange COUNT beats exchange
     # bytes.
-    def self_join(df: DataFrame, key: list) -> DataFrame:
+    def self_join(df: DataFrame, key: list, cross_block: bool = False) -> DataFrame:
         a = df.alias("a")
         b = df.alias("b")
+        cond = F.col("a.email") < F.col("b.email")
+        if cross_block:
+            cond = cond & (F.col("a.block_key") != F.col("b.block_key"))
         return (
             a.join(b, on=key)
-            .where(F.col("a.email") < F.col("b.email"))
+            .where(cond)
             .select(
                 F.col("a.email").alias("email_a"),
                 F.col("b.email").alias("email_b"),
@@ -325,10 +359,11 @@ def candidate_pairs(
     )
 
     if use_lsh:
-        with_bands = uniq.select(
+        with_bands = blocked.select(
             "email",
             "local_canon",
             "domain_canon",
+            "block_key",
             F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
                 "band_idx", "band_sig"
             ),
@@ -358,7 +393,12 @@ def candidate_pairs(
             bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
             ["band_idx", "band_sig"],
         )
-        lsh_pairs = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
+        lsh_pairs = self_join(
+            bounded, ["band_idx", "band_sig", "domain_canon"], cross_block=True
+        )
+        if dedupe:
+            # only multi-band duplicates remain, and only within this channel
+            lsh_pairs = lsh_pairs.dropDuplicates(["email_a", "email_b"])
         pairs = pairs.unionByName(lsh_pairs)
 
-    return pairs.dropDuplicates(["email_a", "email_b"]) if dedupe else pairs
+    return pairs
