@@ -247,7 +247,9 @@ def _er_clusters_diff_golden(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _docs(spark: SparkSession, sf: str) -> DataFrame:
-    return load_table(spark, sf, "documents")
+    from email_address_parser_spark.sources.testdata import load_documents
+
+    return load_documents(spark, sf)
 
 
 def _doc_token_counts(spark: SparkSession, sf: str) -> DataFrame:

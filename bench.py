@@ -155,6 +155,21 @@ def main() -> None:
 
         _force(queries()["doc_fingerprints"](spark, sf_dir))
 
+    def q_simhash():
+        from __spark_entry__ import queries
+
+        _force(queries()["dedup_simhash"](spark, sf_dir))
+
+    def q_splits():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_splits"](spark, sf_dir))
+
+    def q_packing():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_packing"](spark, sf_dir))
+
     suite = {
         "er_mentions": q_mentions,
         "er_pairs_scored": q_pairs_scored,
@@ -164,8 +179,11 @@ def main() -> None:
         "top_order_per_customer": q_top_order,
         "events_daily": q_events,
         "dedup_minhash": q_dedup,
+        "dedup_simhash": q_simhash,
         "ann_topk": q_ann,
         "doc_fingerprints": q_docs,
+        "doc_splits": q_splits,
+        "doc_packing": q_packing,
     }
 
     timings = {}

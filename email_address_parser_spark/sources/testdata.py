@@ -33,6 +33,21 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The documents table, redistributed for per-doc CPU work when the scan
+    under-parallelizes. A single parquet file with one row group is ONE scan
+    partition no matter what maxPartitionBytes says (row groups are the split
+    unit), which serializes every downstream per-doc kernel (minhash /
+    simhash / fingerprint UDFs) onto one core. A production corpus arrives as
+    many files and skips this branch; the repartition is round-robin over the
+    doc id hash, one narrow shuffle of the raw docs, result-set neutral."""
+    df = load_table(spark, sf_dir, "documents")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, "doc_id")
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
