@@ -2,10 +2,11 @@
 
 Features per candidate pair (north_star feature list):
   * jw_local      — Jaro-Winkler similarity of canonical local parts
-                    (pandas UDF; rapidfuzz's C kernel when available, exact
-                    pure-Python fallback otherwise — semantics match DuckDB's
-                    jaro_winkler_similarity: prefix scale 0.1, max prefix 4,
-                    boost threshold 0.7, so the oracle can replay it)
+                    (pandas UDF: distinct-pair memo feeding the vectorized
+                    numpy kernel, or rapidfuzz's C kernel when installed —
+                    semantics match DuckDB's jaro_winkler_similarity:
+                    byte mode, prefix scale 0.1, max prefix 4, boost
+                    threshold 0.7, so the oracle can replay it)
   * lev_local     — builtin levenshtein(local_canon_a, local_canon_b)
                     (JVM, whole-stage codegen)
   * dom_edit      — builtin levenshtein(domain_canon_a, domain_canon_b)
@@ -231,6 +232,11 @@ def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
     if len(hard):
         ab = [s.encode("utf-8") for s in a_u[hard]]
         bb = [s.encode("utf-8") for s in b_u[hard]]
+        if _jw_fast is not None:
+            # rapidfuzz C kernel, fed DISTINCT hard pairs in byte mode (same
+            # memo as the numpy path — never per input row; round-2 ADVICE)
+            res[hard] = [_jw_fast(x, y) for x, y in zip(ab, bb)]
+            return res[inv]
         hla = np.fromiter((len(s) for s in ab), dtype=np.int64, count=len(ab))
         hlb = np.fromiter((len(s) for s in bb), dtype=np.int64, count=len(bb))
         hmax = np.maximum(hla, hlb)
@@ -254,10 +260,6 @@ def jaro_winkler_batch(a: pd.Series, b: pd.Series) -> np.ndarray:
 def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     a = a.fillna("")
     b = b.fillna("")
-    if _jw_fast is not None:
-        return pd.Series(
-            [_jw_fast(x, y) for x, y in zip(a, b)], dtype="float64"
-        )
     return pd.Series(jaro_winkler_batch(a, b), index=a.index, dtype="float64")
 
 
