@@ -75,12 +75,19 @@ def main() -> None:
     mentions = with_canonical(extract_mentions(transcripts))
 
     # untimed warmup: fork + import the per-core Python worker pool and JIT
-    # the codegen paths (narrow filter touches every partition; limit() would
-    # collapse to one task and warm a single worker)
+    # the codegen paths for the WHOLE chain (extraction, minhash banding,
+    # JW scoring, join/agg codegen) — the long-lived-executor model
+    # scale_bench.py documents. Narrow 2% filter so every partition
+    # contributes (limit() would collapse to one task and warm one worker).
+    warm = with_canonical(
+        extract_mentions(
+            transcripts.where(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(50)) == 0)
+        )
+    )
     _force(
-        with_canonical(
-            extract_mentions(
-                transcripts.where(F.pmod(F.xxhash64("conv_id", "turn_idx"), F.lit(50)) == 0)
+        score_pairs(
+            candidate_pairs(
+                warm, hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK
             )
         )
     )
