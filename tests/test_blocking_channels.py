@@ -1,0 +1,106 @@
+"""Invariants of the round-3 disjoint-channel candidate generation
+(operators/blocking.py): the exact-domain channel and the LSH channel must
+be disjoint AND their union must equal the old overlapping-channels-then-
+full-dedup formulation, including under hot-domain salting. The removal of
+the full-pair-set dropDuplicates is only sound while these hold."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from email_address_parser_spark.operators.blocking import (
+    _unique_mentions,
+    candidate_pairs,
+    minhash_bands_udf,
+    with_salted_domain_block,
+)
+
+HOT, TGT, CAP = 4, 2, 50  # tiny thresholds: salting triggers on ~5-row domains
+
+
+@pytest.fixture(scope="module")
+def mentions(spark):
+    # one hot domain (9 near-duplicate locals -> salted into blocks of ~2,
+    # so LSH must carry the cross-block typo pairs) + one cold domain
+    rows = [(f"user{i}x@hot.example", f"user{i}x", "hot.example") for i in range(6)]
+    rows += [("userAx@hot.example", "userax", "hot.example"),
+             ("user0y@hot.example", "user0y", "hot.example"),
+             ("us.er0x@hot.example", "us.er0x", "hot.example")]
+    rows += [(f"v{i}@cold.example", f"v{i}", "cold.example") for i in range(3)]
+    df = spark.createDataFrame(
+        rows, schema="email string, local_canon string, domain_canon string"
+    ).withColumn("valid_lax", F.lit(True))
+    return df
+
+
+def _old_full_dedup_pairs(mentions):
+    """The pre-round-3 formulation: overlapping channels, full-set dedup."""
+    uniq = _unique_mentions(mentions)
+    blocked = with_salted_domain_block(uniq, HOT, TGT)
+
+    def self_join(df, key):
+        a, b = df.alias("a"), df.alias("b")
+        return (
+            a.join(b, on=key)
+            .where(F.col("a.email") < F.col("b.email"))
+            .select(
+                F.col("a.email").alias("email_a"),
+                F.col("b.email").alias("email_b"),
+            )
+        )
+
+    pairs = self_join(
+        blocked.select("block_key", "email", "local_canon", "domain_canon"),
+        ["block_key"],
+    )
+    bands = uniq.select(
+        "email", "domain_canon",
+        F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
+            "band_idx", "band_sig"
+        ),
+    )
+    sizes = bands.groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_bn"))
+    bounded = bands.join(sizes.where(F.col("_bn") <= CAP), ["band_idx", "band_sig"])
+    lsh = self_join(bounded, ["band_idx", "band_sig", "domain_canon"])
+    return pairs.unionByName(lsh).dropDuplicates(["email_a", "email_b"])
+
+
+def _pairset(df):
+    return {(r.email_a, r.email_b) for r in df.select("email_a", "email_b").collect()}
+
+
+def test_salting_is_active(spark, mentions):
+    blocked = with_salted_domain_block(_unique_mentions(mentions), HOT, TGT)
+    hot_keys = {
+        r.block_key
+        for r in blocked.where(F.col("domain_canon") == "hot.example").collect()
+    }
+    assert len(hot_keys) > 1 and all("#" in k for k in hot_keys)
+
+
+def test_channels_are_disjoint(spark, mentions):
+    exact = candidate_pairs(
+        mentions, HOT, TGT, use_lsh=False, dedupe=False, materialize=False
+    )
+    both = candidate_pairs(mentions, HOT, TGT, dedupe=True, materialize=False)
+    lsh_only = _pairset(both) - _pairset(exact)
+    # the LSH channel contributed pairs (cross-block typo pairs exist) ...
+    assert lsh_only
+    # ... and the union has no duplicates without any full-set dedup
+    assert both.count() == len(_pairset(both))
+
+
+def test_union_matches_old_full_dedup_formulation(spark, mentions):
+    new = candidate_pairs(mentions, HOT, TGT, dedupe=True, materialize=False)
+    assert _pairset(new) == _pairset(_old_full_dedup_pairs(mentions))
+
+
+def test_unsalted_lsh_adds_nothing(spark, mentions):
+    """With no hot domains every same-domain pair is exact-channel; the LSH
+    channel must contribute zero pairs (the sf0.01 oracle relies on this)."""
+    exact = candidate_pairs(
+        mentions, 1 << 40, TGT, use_lsh=False, dedupe=False, materialize=False
+    )
+    both = candidate_pairs(mentions, 1 << 40, TGT, dedupe=True, materialize=False)
+    assert _pairset(both) == _pairset(exact)
