@@ -149,3 +149,31 @@ def test_kmv_sketch_two_level_and_invariance(spark):
     by_grp = {r[0]: r for r in got}
     assert by_grp["g1"][1] == 7 and by_grp["g1"][2] == 7.0  # exact below k
     assert by_grp["g0"][1] == 500
+
+
+def test_candidate_pairs_no_dedup_above_union(spark):
+    """Round-3 disjoint channels: the candidate-pair plan must have NO
+    deduplicating aggregate (and no exchange) downstream of the channel
+    Union — the full-pair-set dropDuplicates was the widest shuffle in
+    er_pairs_scored and its removal is only safe while the channels stay
+    disjoint (tests/test_blocking_channels.py proves the set equality;
+    this pins the plan)."""
+    from email_address_parser_spark.operators.blocking import candidate_pairs
+    from email_address_parser_spark.operators.extract import (
+        extract_mentions,
+        with_canonical,
+    )
+    from email_address_parser_spark.plans import explain_str
+    from email_address_parser_spark.sources.testdata import derive_transcripts
+
+    mentions = with_canonical(extract_mentions(derive_transcripts(spark, SF_DIR)))
+    df = candidate_pairs(mentions, hot_threshold=5, target_block_size=2)
+    plan = explain_str(df, "simple")
+    for line in plan.splitlines():
+        if "Union" in line:
+            break
+        assert "HashAggregate" not in line and not (
+            "Exchange" in line and "BroadcastExchange" not in line
+        ), f"dedup/shuffle above the channel Union:\n{plan}"
+    else:
+        raise AssertionError(f"no Union in candidate_pairs plan:\n{plan}")
