@@ -153,6 +153,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_redact": _doc_redact,
         "dedup_keep_best": _dedup_keep_best,
         "dedup_keep_best_lsh": _dedup_keep_best_lsh,  # LSH buckets as block key
+        "er_blocking_metrics": _er_blocking_metrics,
         "domain_kmv": _domain_kmv,
     }
 
@@ -208,6 +209,69 @@ def _er_match_f1(spark: SparkSession, sf: str) -> DataFrame:
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("f1"),
+        )
+    )
+
+
+def _er_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """One row: blocking-quality metrics of the candidate generator against
+    the generative ground truth (match_key identity) — the standard ER
+    literature pair: reduction_ratio (how much of the quadratic pair space
+    blocking prunes) and pair_completeness (what fraction of TRUE match
+    pairs survive into the candidate set; the recall ceiling of the whole
+    pipeline). Integer arithmetic uses DIV so DuckDB replays exactly."""
+    m = _mentions(spark, sf)
+    uniq = (
+        m.where(F.col("valid_lax"))
+        .select("email", "domain_canon", "match_key")
+        .dropDuplicates(["email"])
+    )
+    n = uniq.agg(F.count(F.lit(1)).alias("n_emails"))
+    cand = (
+        _pairs(spark, sf)
+        .join(
+            uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+            "email_a",
+        )
+        .join(
+            uniq.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+            "email_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("candidate_pairs"),
+            F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias(
+                "covered_true_pairs"
+            ),
+        )
+    )
+    true_p = (
+        uniq.groupBy("match_key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("_c * (_c - 1) DIV 2")), F.lit(0)
+            ).alias("true_pairs")
+        )
+    )
+    return (
+        n.crossJoin(cand)
+        .crossJoin(true_p)
+        .select(
+            "n_emails",
+            F.expr("n_emails * (n_emails - 1) DIV 2").alias("possible_pairs"),
+            "candidate_pairs",
+            F.round(
+                F.lit(1.0)
+                - F.col("candidate_pairs")
+                / F.greatest(F.expr("n_emails * (n_emails - 1) DIV 2"), F.lit(1)),
+                6,
+            ).alias("reduction_ratio"),
+            "true_pairs",
+            "covered_true_pairs",
+            F.round(
+                F.col("covered_true_pairs") / F.greatest(F.col("true_pairs"), F.lit(1)),
+                6,
+            ).alias("pair_completeness"),
         )
     )
 
@@ -598,6 +662,37 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",
+        "er_blocking_metrics": MENTIONS_EXPECTED_CTE
+        + """,
+        uniq AS (
+            SELECT DISTINCT email, domain_canon, match_key
+            FROM mentions_expected WHERE valid_lax
+        ),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_emails FROM uniq),
+        cand AS (
+            SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
+                CAST(coalesce(sum(CASE WHEN a.match_key = b.match_key
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    AS covered_true_pairs
+            FROM uniq a JOIN uniq b
+              ON a.domain_canon = b.domain_canon AND a.email < b.email
+        ),
+        t AS (
+            SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                AS true_pairs
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM uniq
+                  GROUP BY match_key)
+        )
+        SELECT n_emails,
+            (n_emails * (n_emails - 1)) // 2 AS possible_pairs,
+            candidate_pairs,
+            round(1.0 - candidate_pairs /
+                CAST(greatest((n_emails * (n_emails - 1)) // 2, 1) AS DOUBLE),
+                6) AS reduction_ratio,
+            true_pairs, covered_true_pairs,
+            round(covered_true_pairs / CAST(greatest(true_pairs, 1) AS DOUBLE),
+                6) AS pair_completeness
+        FROM n, cand, t""",
         "er_match_f1": _ORACLE_PAIRS
         + """,
         agg AS (

@@ -82,7 +82,10 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All within-block pairs with word-bigram Jaccard ≥ threshold.
     → (id_a, id_b, jaccard). Self-join shuffles on the block key only; at
-    scale the block key is an LSH bucket, keeping blocks O(100) docs.
+    scale the block key is an LSH bucket, keeping blocks O(100) docs — and
+    the LSH-blocked form of this operator IS minhash_near_dup below (banded
+    buckets as blocks, identical word-bigram-Jaccard verification); this
+    column-blocked form exists for corpora with a trusted partition key.
 
     The Jaccard is computed RELATIONALLY (gram equi-join + count, with
     |A∪B| = |A|+|B|-|A∩B| over per-doc distinct grams) — per-row
