@@ -104,3 +104,29 @@ def test_unsalted_lsh_adds_nothing(spark, mentions):
     )
     both = candidate_pairs(mentions, 1 << 40, TGT, dedupe=True, materialize=False)
     assert _pairset(both) == _pairset(exact)
+
+
+def test_salted_pair_completeness_is_total(spark):
+    """Salting is recall-preserving BY CONSTRUCTION (salt = hash of the
+    dotless local, which all variants of one match_key share), so even
+    absurdly aggressive salting must cover every true match-key pair.
+    Measured on the derived sf0.001 transcripts."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.extract import (
+        extract_mentions,
+        with_canonical,
+    )
+    from email_address_parser_spark.sources.testdata import derive_transcripts
+
+    m = with_canonical(extract_mentions(derive_transcripts(spark, "/root/testdata/sf0.001")))
+    uniq = uniq_valid_mentions(m).select("email", "match_key")
+    true_pairs = {
+        (a, b)
+        for r in uniq.groupBy("match_key").agg(F.collect_list("email").alias("es")).collect()
+        for i, a in enumerate(sorted(r.es))
+        for b in sorted(r.es)[i + 1 :]
+    }
+    assert true_pairs  # non-vacuous
+    cand = candidate_pairs(m, hot_threshold=3, target_block_size=1, materialize=False)
+    covered = _pairset(cand)
+    assert true_pairs <= covered, sorted(true_pairs - covered)[:5]
