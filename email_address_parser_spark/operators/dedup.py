@@ -193,7 +193,15 @@ def minhash_near_dup(
       * the band self-join carries ONLY ids (a doc colliding in several bands
         would otherwise duplicate its gram array through the shuffle);
       * pairs are de-duplicated BEFORE the gram arrays are joined back, so
-        the exact-Jaccard verification runs once per unique pair."""
+        the exact-Jaccard verification runs once per unique pair.
+
+    Measured and REJECTED (round 3): restricting the gram/size tables to
+    candidate docs with a left-semi filter before the verification joins —
+    on the bench corpus 4,885 of 5,000 docs appear in some candidate pair
+    (151k candidates), so the filter removes ~2% of gram rows while adding
+    two joins and a second evaluation (or cache) of the banding subtree; no
+    wall-time win at sf0.1. Revisit only for corpora where candidates are
+    sparse."""
     if threshold <= 0:
         raise ValueError(
             "minhash_near_dup requires threshold > 0 (zero-overlap candidate "
