@@ -34,12 +34,17 @@ def iceberg_submit_conf(
     uri: str = "http://rest-catalog:8181",
     catalog_type: str = "rest",
     runtime_version: str = "1.9.0",
+    spark_minor: str = "4.0",
+    scala: str = "2.13",
 ) -> dict:
     """The spark-submit configuration that turns this seam on in prod (the
     docstring's recipe as data, so deploy tooling and tests consume one
-    source of truth)."""
+    source of truth). Iceberg publishes one runtime artifact per (Spark
+    MINOR, Scala) pair — pass the pair matching the cluster's Spark (e.g.
+    spark_minor="3.5", scala="2.12"), not whatever this sandbox runs."""
+    runtime = f"org.apache.iceberg:iceberg-spark-runtime-{spark_minor}_{scala}"
     return {
-        "spark.jars.packages": f"{ICEBERG_RUNTIME}:{runtime_version}",
+        "spark.jars.packages": f"{runtime}:{runtime_version}",
         f"spark.sql.catalog.{catalog}": "org.apache.iceberg.spark.SparkCatalog",
         f"spark.sql.catalog.{catalog}.type": catalog_type,
         f"spark.sql.catalog.{catalog}.uri": uri,
