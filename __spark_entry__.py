@@ -118,6 +118,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generative ground truth (match_key equality) — the BASELINE.json
         # acceptance metric as an oracle-checked driver query
         "er_match_f1": _er_match_f1,
+        # batch-incremental cluster maintenance: fold the held-out 20% of
+        # conversations into clusters built from the other 80%; the oracle is
+        # the FULL-corpus clustering, so a triple-match proves the
+        # incremental path equals a from-scratch recompute
+        "er_incremental": _er_incremental,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -211,6 +216,41 @@ def _er_match_f1(spark: SparkSession, sf: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+def _er_incremental(spark: SparkSession, sf: str) -> DataFrame:
+    """Batch-incremental cluster maintenance (operators/incremental.py):
+    cluster the ~80% of conversations whose conv_id hashes below the split
+    point with the batch pipeline, then fold the remaining ~20% in with
+    `incremental_cluster_update` — which extracts/blocks/scores ONLY pairs
+    touching a genuinely new email and re-runs CC only on the affected
+    subgraph. The oracle is the FULL-corpus match-key clustering (same SQL
+    as er_clusters), so the triple-match certifies incremental == full
+    recompute, the operator's contract."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.incremental import (
+        incremental_cluster_update,
+    )
+
+    t = derive_transcripts(spark, sf)
+    is_prev = F.pmod(F.xxhash64("conv_id"), F.lit(5)) < 4
+    prev_m = _mentions_of(t.where(is_prev))
+    prev_clusters = cluster_mentions(
+        prev_m,
+        match_edges(score_pairs(candidate_pairs(prev_m, hot_threshold=1 << 40))),
+    )
+    out = incremental_cluster_update(
+        spark,
+        t.where(~is_prev),
+        prev_clusters,
+        uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40,
+    )
+    return out["clusters"]
+
+
+def _mentions_of(transcripts: DataFrame) -> DataFrame:
+    return with_canonical(extract_mentions(transcripts))
 
 
 def _er_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
@@ -659,6 +699,8 @@ def oracle_sql() -> dict[str, str]:
                 email = raw AS email_eq_raw
              FROM mentions_expected WHERE valid_lax""",
         "er_clusters": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
+        # incremental == full recompute: the oracle IS the full-corpus clustering
+        "er_incremental": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",

@@ -1,0 +1,204 @@
+"""Incremental cluster maintenance: equivalence to full recompute + scale
+invariants (operators/incremental.py).
+
+The load-bearing claim is the equivalence contract: folding batch B into
+clusters(batch A) must equal clustering A UNION B from scratch whenever no
+data-driven blocking transition separates the runs. Tests exercise the
+contract at the default threshold (where edges <=> match-key equality, the
+driver-oracle regime), at a low threshold (genuine fuzzy cross-key merges,
+including merges of two PRE-EXISTING clusters by a bridging new email), under
+active hot-domain salting, and for the empty-batch no-op.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from email_address_parser_spark.operators.blocking import (
+    candidate_pairs,
+    uniq_valid_mentions,
+)
+from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
+from email_address_parser_spark.operators.incremental import incremental_cluster_update
+from email_address_parser_spark.operators.scoring import match_edges, score_pairs
+from email_address_parser_spark.pipeline import cluster_mentions
+from email_address_parser_spark.synth import synthesize
+
+
+def _full_clusters(mentions, hot_threshold, threshold):
+    return cluster_mentions(
+        mentions,
+        match_edges(
+            score_pairs(candidate_pairs(mentions, hot_threshold=hot_threshold)),
+            threshold,
+        ),
+    )
+
+
+def _as_set(df):
+    return {(r["email"], r["cluster_id"]) for r in df.collect()}
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    corpus = synthesize(n_convs=150, turns_per_conv=8, n_entities=40, seed=7)
+    return spark.createDataFrame(corpus.transcripts)
+
+
+def _split(corpus_df):
+    prev = corpus_df.where(F.pmod(F.xxhash64("conv_id"), F.lit(5)) < 4)
+    new = corpus_df.where(F.pmod(F.xxhash64("conv_id"), F.lit(5)) >= 4)
+    return prev, new
+
+
+def _run_incremental(spark, prev_t, new_t, hot_threshold, threshold):
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_uniq = uniq_valid_mentions(prev_m)
+    prev_clusters = _full_clusters(prev_m, hot_threshold, threshold)
+    return incremental_cluster_update(
+        spark,
+        new_t,
+        prev_clusters,
+        prev_uniq,
+        hot_threshold=hot_threshold,
+        threshold=threshold,
+    )
+
+
+def test_incremental_equals_full_recompute(spark, corpus_df):
+    """Default threshold (driver-oracle regime): byte-identical clusters."""
+    prev_t, new_t = _split(corpus_df)
+    out = _run_incremental(spark, prev_t, new_t, 1 << 40, 0.90)
+    full = _full_clusters(
+        with_canonical(extract_mentions(corpus_df)), 1 << 40, 0.90
+    )
+    assert _as_set(out["clusters"]) == _as_set(full)
+
+
+def test_incremental_equals_full_recompute_fuzzy_threshold(spark, corpus_df):
+    """Low threshold: cross-key fuzzy edges exist, so the CC loop does real
+    merging work (including old-cluster merges) — still identical."""
+    prev_t, new_t = _split(corpus_df)
+    out = _run_incremental(spark, prev_t, new_t, 1 << 40, 0.70)
+    full = _full_clusters(
+        with_canonical(extract_mentions(corpus_df)), 1 << 40, 0.70
+    )
+    assert _as_set(out["clusters"]) == _as_set(full)
+
+
+def test_incremental_merges_two_prev_clusters(spark):
+    """A new email bridging two pre-existing clusters must merge them.
+
+    The bridge 'annsmith@ex.com' shares a match_key with 'ann.smith@ex.com'
+    (score 1.0) and is a near-typo of 'annsmith2@ex.com'; the two A-batch
+    emails score lower against each other. The threshold is derived from the
+    actual scorer as the midpoint between the direct A<->A score and the
+    weakest bridge score, so the test is robust to scoring-formula tweaks as
+    long as the bridge stays the strongest link."""
+    a_email, b_email, c_email = "ann.smith@ex.com", "annsmith2@ex.com", "annsmith@ex.com"
+    rows = [
+        ("c1", 0, "user", f"contact {a_email} please", None, 0.0),
+        ("c2", 0, "user", f"contact {b_email} please", None, 0.0),
+    ]
+    bridge = [("c3", 0, "user", f"cc {c_email} too", None, 0.0)]
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    prev_t = spark.createDataFrame(pd.DataFrame(rows, columns=cols))
+    new_t = spark.createDataFrame(pd.DataFrame(bridge, columns=cols))
+    all_m = with_canonical(extract_mentions(prev_t.unionByName(new_t)))
+    scores = {
+        (r["email_a"], r["email_b"]): r["score"]
+        for r in score_pairs(candidate_pairs(all_m, hot_threshold=1 << 40)).collect()
+    }
+
+    def s(x, y):
+        return scores[(min(x, y), max(x, y))]
+
+    direct = s(a_email, b_email)
+    weakest_bridge = min(s(a_email, c_email), s(b_email, c_email))
+    assert direct < weakest_bridge, "fixture: bridge must be the strongest link"
+    threshold = (direct + weakest_bridge) / 2
+
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_clusters = _full_clusters(prev_m, 1 << 40, threshold)
+    assert (
+        prev_clusters.select("cluster_id").distinct().count() == 2
+    ), "precondition: the two A-batch emails start in separate clusters"
+
+    out = incremental_cluster_update(
+        spark,
+        new_t,
+        prev_clusters,
+        uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40,
+        threshold=threshold,
+    )
+    full = _full_clusters(all_m, 1 << 40, threshold)
+    got = _as_set(out["clusters"])
+    assert got == _as_set(full)
+    assert len({cid for _, cid in got}) == 1, "all three emails share one cluster"
+
+
+def test_incremental_untouched_clusters_pass_through(spark, corpus_df):
+    """Clusters with no new-incident edge are emitted verbatim (no relabel)."""
+    prev_t, new_t = _split(corpus_df)
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_clusters = _full_clusters(prev_m, 1 << 40, 0.90)
+    out = incremental_cluster_update(
+        spark, new_t, prev_clusters, uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40,
+    )
+    touched = (
+        out["edges"].select(F.col("src").alias("email"))
+        .union(out["edges"].select(F.col("dst").alias("email")))
+        .join(prev_clusters, "email", "inner")
+        .select("cluster_id")
+        .distinct()
+    )
+    untouched_prev = prev_clusters.join(touched, "cluster_id", "left_anti")
+    assert _as_set(untouched_prev) <= _as_set(out["clusters"])
+
+
+def test_incremental_salted_match_key_recall(spark, corpus_df):
+    """With hot-domain salting ACTIVE in both the prev run and the update,
+    every match-key group still lands in one output cluster (the F1 >= 0.99
+    acceptance invariant: salt = hash(dotless local) is variant-stable)."""
+    prev_t, new_t = _split(corpus_df)
+    out = _run_incremental(spark, prev_t, new_t, hot_threshold=20, threshold=0.90)
+    m = with_canonical(extract_mentions(corpus_df))
+    keyed = uniq_valid_mentions(m).join(out["clusters"], "email")
+    violated = (
+        keyed.groupBy("match_key")
+        .agg(F.countDistinct("cluster_id").alias("n"))
+        .where(F.col("n") > 1)
+        .count()
+    )
+    assert violated == 0
+
+
+def test_incremental_empty_batch_is_noop(spark, corpus_df):
+    prev_t, _ = _split(corpus_df)
+    empty = corpus_df.where(F.lit(False))
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_clusters = _full_clusters(prev_m, 1 << 40, 0.90)
+    out = incremental_cluster_update(
+        spark, empty, prev_clusters, uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40,
+    )
+    assert _as_set(out["clusters"]) == _as_set(prev_clusters)
+    assert out["edges"].count() == 0
+
+
+def test_incremental_known_email_reappearing_changes_nothing(spark, corpus_df):
+    """A batch consisting solely of already-known emails adds no edges and
+    leaves every assignment unchanged (dedup against prev_uniq)."""
+    prev_t, _ = _split(corpus_df)
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_clusters = _full_clusters(prev_m, 1 << 40, 0.90)
+    out = incremental_cluster_update(
+        spark, prev_t, prev_clusters, uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40,
+    )
+    assert _as_set(out["clusters"]) == _as_set(prev_clusters)
+    assert out["edges"].count() == 0
