@@ -156,6 +156,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_splits": _doc_splits,
         "doc_packing": _doc_packing,
         "doc_redact": _doc_redact,
+        # benchmark decontamination: word-8-gram overlap of the train split
+        # against the test split (broadcast benchmark-gram probe)
+        "doc_decontam": _doc_decontam,
         "dedup_keep_best": _dedup_keep_best,
         "dedup_keep_best_lsh": _dedup_keep_best_lsh,  # LSH buckets as block key
         "er_blocking_metrics": _er_blocking_metrics,
@@ -477,6 +480,21 @@ def _doc_splits(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.sampling import split_assign
 
     return split_assign(_docs(spark, sf)).select("doc_id", "u", "split")
+
+
+def _doc_decontam(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-data hygiene: flag train-split documents sharing word
+    8-grams with the test split (operators/decontam.py). The benchmark gram
+    set rides a broadcast, so the corpus side never shuffles before its one
+    groupBy(doc_id)."""
+    from email_address_parser_spark.operators.decontam import ngram_decontaminate
+    from email_address_parser_spark.operators.sampling import split_assign
+
+    assigned = split_assign(_docs(spark, sf))
+    return ngram_decontaminate(
+        assigned.where(F.col("split") == "train"),
+        assigned.where(F.col("split") == "test"),
+    )
 
 
 def _doc_packing(spark: SparkSession, sf: str) -> DataFrame:
@@ -978,6 +996,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_splits": _oracles.doc_splits_oracle(),
         "doc_packing": _oracles.doc_packing_oracle(budget=2048),
         "doc_redact": _redact_oracle(),
+        "doc_decontam": _oracles.doc_decontam_oracle(),
         "dedup_keep_best": _oracles.dedup_keep_best_oracle(threshold=0.6),
         "dedup_keep_best_lsh": _oracles.dedup_keep_best_lsh_oracle(
             threshold=0.2, max_bucket=64

@@ -10,6 +10,7 @@ Public surface (see SURVEY.md §2 for the operator inventory):
   operators.scoring     — JW/Levenshtein pairwise scorer + match edges (F9-F10)
   operators.cc          — large-star/small-star connected components (F11)
   operators.incremental — batch-incremental cluster maintenance (G24)
+  operators.decontam    — benchmark n-gram decontamination (G25)
   operators.dedup       — exact/Jaccard/MinHash/SimHash dedup + keep-best
   operators.similarity  — cosine ANN (brute-force + hyperplane LSH + IVF)
   operators.sampling    — hash splits, sequence packing, KMV sketches

@@ -447,3 +447,64 @@ c AS (
 SELECT doc_id, source, n_tokens, cum_before,
     CAST(floor(CAST(cum_before AS DOUBLE) / {budget}) AS BIGINT) AS bin_id
 FROM c"""
+
+
+def doc_decontam_oracle(
+    n: int = 8,
+    threshold: float = 0.5,
+    weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "split",
+) -> str:
+    """Replay of operators/decontam.ngram_decontaminate over the split_assign
+    train/test partition: same tokenizer regex, same n-gram windows (DuckDB
+    list_slice is inclusive where Spark slice takes a length), same
+    left-join/zero-gram semantics, same rounded-ratio flag."""
+    case = "CASE"
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        case += f" WHEN _u < {acc!r} THEN '{name}'"
+    case += f" ELSE '{weights[-1][0]}' END"
+    h = _HEX8.format(arg="'" + salt + ":' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH assigned AS (
+    SELECT doc_id, text, {case} AS split
+    FROM (SELECT *, {h} / 4294967296.0 AS _u FROM documents)
+),
+toks AS (
+    SELECT doc_id, split, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+    FROM assigned
+),
+grams AS (
+    SELECT doc_id, split,
+        CASE WHEN len(t) >= {n}
+             THEN list_transform(range(1, len(t) - {n} + 2),
+                                 i -> array_to_string(list_slice(t, i, i + {n} - 1), ' '))
+             ELSE CAST([] AS VARCHAR[]) END AS gs
+    FROM toks
+),
+train_grams AS (
+    SELECT DISTINCT doc_id, unnest(gs) AS gram FROM grams WHERE split = 'train'
+),
+bench_grams AS (
+    SELECT DISTINCT unnest(gs) AS gram FROM grams WHERE split = 'test'
+),
+counts AS (
+    SELECT tg.doc_id,
+        CAST(count(*) AS BIGINT) AS n_grams,
+        CAST(coalesce(sum(CASE WHEN bg.gram IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT)
+            AS n_shared
+    FROM train_grams tg LEFT JOIN bench_grams bg USING (gram)
+    GROUP BY tg.doc_id
+),
+final AS (
+    SELECT a.doc_id,
+        coalesce(c.n_grams, 0) AS n_grams,
+        coalesce(c.n_shared, 0) AS n_shared
+    FROM assigned a LEFT JOIN counts c USING (doc_id)
+    WHERE a.split = 'train'
+)
+SELECT doc_id, n_grams, n_shared,
+    round(n_shared / CAST(greatest(n_grams, 1) AS DOUBLE), 6) AS contamination,
+    round(n_shared / CAST(greatest(n_grams, 1) AS DOUBLE), 6) >= {threshold!r} AS contaminated
+FROM final"""
