@@ -17,10 +17,13 @@ neighborhood|:
      match verdicts are already folded into `prev_clusters`;
   3. score only those pairs (same Arrow-batch JW/Levenshtein kernels as the
      batch path) and threshold to edges;
-  4. run the iterative CC loop on {new-incident edges} UNION {star edges of
-     the old clusters those edges touch} — the affected subgraph, not the
-     corpus graph. Depth-1 stars preserve old-component connectivity
-     exactly, so transitive merges across old clusters happen in the loop;
+  4. contract old clusters to their roots (quotient graph): every OLD edge
+     endpoint is rewritten to its prev cluster_id before the CC loop, so the
+     loop's node set is {affected roots} ∪ {edge-incident new emails} — old
+     members never enter an iteration shuffle, yet transitive merges across
+     old clusters still happen (contraction preserves connectivity, and
+     min-over-roots == min-over-members because a root IS its cluster's min
+     email). Members inherit the root's new label with one post-loop join;
   5. pass every untouched cluster through unchanged (anti-join on the
      affected cluster-id set — a semi/anti pair on the clusters table, the
      only full-state shuffle, and it is keyed by the already-partitioned
@@ -57,7 +60,7 @@ from __future__ import annotations
 
 from typing import Dict, Optional
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .blocking import (
@@ -68,6 +71,17 @@ from .blocking import (
 from .cc import connected_components
 from .extract import extract_mentions, with_canonical
 from .scoring import DEFAULT_THRESHOLD, match_edges, score_pairs
+
+
+def with_minhash_bands(df: DataFrame, local_col: str = "local_canon") -> DataFrame:
+    """Add `band_sigs: array<long>` — the LSH band keys of `local_col`.
+
+    Band signatures are a pure function of the string, so at scale they are
+    computed ONCE per distinct email and persisted with the dim state
+    (append-only across batches); the incremental path then runs the
+    signature UDF only over the batch's new emails instead of re-banding the
+    whole corpus dim every fold."""
+    return df.withColumn("band_sigs", minhash_bands_udf(F.col(local_col)))
 
 
 def _restricted_pairs(
@@ -84,7 +98,12 @@ def _restricted_pairs(
         the output columns are least/greatest-normalized so downstream
         scoring sees the same (email_a < email_b) orientation as the batch
         path (the feature set is symmetric, so normalization is free).
-    """
+
+    The b side is pre-restricted to key values that contain >= 1 new row
+    (a semi-join against the tiny new-side key set): blocks untouched by the
+    batch never enter the self-join shuffle."""
+    new_keys = blocked.where(F.col("_is_new")).select(*key).distinct()
+    blocked = blocked.join(new_keys, key, "left_semi")
     a = blocked.where(F.col("_is_new")).alias("a")
     b = blocked.alias("b")
     cond = (~F.col("b._is_new")) | (F.col("a.email") < F.col("b.email"))
@@ -133,15 +152,21 @@ def incremental_candidate_pairs(
     )
 
     if use_lsh:
+        # use persisted band signatures when the dim carries them (the
+        # incremental state path — signatures are append-only per email);
+        # fall back to the UDF for plain dims
+        band_col = (
+            F.col("band_sigs")
+            if "band_sigs" in blocked.columns
+            else minhash_bands_udf(F.col("local_canon"))
+        )
         with_bands = blocked.select(
             "email",
             "local_canon",
             "domain_canon",
             "block_key",
             "_is_new",
-            F.posexplode(minhash_bands_udf(F.col("local_canon"))).alias(
-                "band_idx", "band_sig"
-            ),
+            F.posexplode(band_col).alias("band_idx", "band_sig"),
         )
         # bucket sizes are computed over the UNION dim so cap decisions match
         # what a full recompute over the grown corpus would make
@@ -159,6 +184,41 @@ def incremental_candidate_pairs(
     return pairs
 
 
+def _assign_components(rewritten: DataFrame) -> DataFrame:
+    """(src, dst) quotient edges → (email, cluster_id = component min).
+
+    Fast path: when the edge set is structurally a STAR FOREST — no node is
+    both a src and a dst, and every dst has exactly one edge — each
+    component is one src plus its dsts, so labels are a single
+    groupBy(src).min(dst) with no iterative loop. This is the overwhelmingly
+    common fold shape (new variants anchored to their key root, no cross-key
+    merges): two cheap structural probes replace ~6 CC-loop barriers. Any
+    other shape (fuzzy merges, anchor chains) falls back to the exact
+    large-star/small-star loop. The caller must hand in a deduplicated,
+    checkpointed edge set (the probes and the assignment both re-read it)."""
+    anchors_also_leaves = rewritten.alias("x").join(
+        rewritten.alias("y"), F.col("x.dst") == F.col("y.src"), "left_semi"
+    )
+    multi_anchor = (
+        rewritten.groupBy("dst").agg(F.count(F.lit(1)).alias("_n")).where(F.col("_n") > 1)
+    )
+    if anchors_also_leaves.isEmpty() and multi_anchor.isEmpty():
+        labels = (
+            rewritten.groupBy("src")
+            .agg(F.min("dst").alias("_min_dst"))
+            .select("src", F.least("src", "_min_dst").alias("_label"))
+        )
+        return (
+            labels.select(F.col("src").alias("email"), F.col("_label").alias("cluster_id"))
+            .unionByName(
+                rewritten.join(labels, "src").select(
+                    F.col("dst").alias("email"), F.col("_label").alias("cluster_id")
+                )
+            )
+        )
+    return connected_components(rewritten)
+
+
 def incremental_cluster_update(
     spark: SparkSession,
     new_transcripts: DataFrame,
@@ -170,6 +230,7 @@ def incremental_cluster_update(
     lsh_max_bucket: int = 50,
     threshold: float = DEFAULT_THRESHOLD,
     new_mentions: Optional[DataFrame] = None,
+    collapse_exact: bool = False,
 ) -> Dict[str, DataFrame]:
     """Fold `new_transcripts` into (`prev_clusters`, `prev_uniq`).
 
@@ -180,6 +241,16 @@ def incremental_cluster_update(
         valid-email dim of everything already clustered
         (`blocking.uniq_valid_mentions`; pipeline checkpoints it).
 
+    collapse_exact mirrors the batch pipeline's scale switch: within-key
+    merges become unscored star edges (a new variant connects straight to
+    its match-key root) and the pairwise scorer sees one REPRESENTATIVE per
+    key, restricted to keys the batch touched — so scorer work is
+    proportional to |new keys|, not |new variants| × block width. Same
+    approximation contract as pipeline.cluster_mentions_collapsed, with one
+    incremental addendum: fuzzy verdicts between two untouched keys are
+    inherited from prev_clusters rather than rescored (a key whose rep
+    changed is rescored; its old rep's folded-in edges are never unmerged).
+
     Returns {"clusters", "uniq", "edges"}:
       clusters — the full updated assignment (old + new emails);
       uniq     — the updated dim (state for the next batch);
@@ -189,50 +260,145 @@ def incremental_cluster_update(
     if new_mentions is None:
         new_mentions = with_canonical(extract_mentions(new_transcripts))
     batch_uniq = uniq_valid_mentions(new_mentions)
+    if use_lsh and "band_sigs" not in prev_uniq.columns:
+        # fallback for callers whose state predates signature persistence:
+        # re-band the whole prev dim once (prod keeps band_sigs in state so
+        # the UDF only ever runs over the batch)
+        prev_uniq = with_minhash_bands(prev_uniq)
     new_uniq = batch_uniq.join(
         prev_uniq.select("email"), "email", "left_anti"
-    ).persist()
+    )
+    if use_lsh:
+        new_uniq = with_minhash_bands(new_uniq)
+    new_uniq = new_uniq.persist()
     updated_uniq = prev_uniq.unionByName(new_uniq)
-
-    dim_cols = ["email", "local_canon", "domain_canon"]
-    updated_dim = (
-        prev_uniq.select(*dim_cols).withColumn("_is_new", F.lit(False))
-    ).unionByName(new_uniq.select(*dim_cols).withColumn("_is_new", F.lit(True)))
-
-    pairs = incremental_candidate_pairs(
-        updated_dim,
-        hot_threshold=hot_threshold,
-        target_block_size=target_block_size,
-        use_lsh=use_lsh,
-        lsh_max_bucket=lsh_max_bucket,
+    dim_cols = ["email", "local_canon", "domain_canon"] + (
+        ["band_sigs"] if use_lsh else []
     )
-    edges = match_edges(score_pairs(pairs), threshold).persist()
 
-    # affected neighborhood: old clusters containing any edge endpoint
-    edge_emails = (
-        edges.select(F.col("src").alias("email"))
-        .union(edges.select(F.col("dst").alias("email")))
+    if collapse_exact:
+        # --- guaranteed within-key merges: star edges, no scorer ----------
+        # per-key roots/reps over the union dim (O(|distinct keys|) groupBy;
+        # prod maintains this dim incrementally alongside prev_uniq)
+        rep_aggs = [
+            F.min("email").alias("email"),
+            F.min_by("local_canon", "email").alias("local_canon"),
+        ]
+        if use_lsh:
+            rep_aggs.append(F.min_by("band_sigs", "email").alias("band_sigs"))
+        rep_rows = updated_uniq.groupBy("match_key", "domain_canon").agg(*rep_aggs)
+        batch_keys = new_uniq.select("match_key").distinct()
+        # anchor = the key's PREV root when the key already exists (so new
+        # variants attach to the existing component even when a new email
+        # becomes the key minimum), else the min new email of the key
+        prev_roots = (
+            prev_uniq.join(batch_keys, "match_key", "semi")
+            .groupBy("match_key")
+            .agg(F.min("email").alias("_prev_root"))
+        )
+        new_roots = new_uniq.groupBy("match_key").agg(
+            F.min("email").alias("_new_root")
+        )
+        anchors = new_roots.join(prev_roots, "match_key", "left").select(
+            "match_key",
+            F.coalesce("_prev_root", "_new_root").alias("_root"),
+        )
+        star_edges = (
+            new_uniq.select("email", "match_key")
+            .join(anchors, "match_key")
+            .where(F.col("email") != F.col("_root"))
+            .select(
+                F.col("_root").alias("src"),
+                F.col("email").alias("dst"),
+                F.lit(1.0).alias("score"),
+            )
+        )
+        # --- fuzzy channel: rep-level pairs touching >= 1 batch key -------
+        rep_dim = (
+            rep_rows.join(
+                batch_keys.withColumn("_b", F.lit(True)), "match_key", "left"
+            )
+            .select(
+                *dim_cols,
+                F.coalesce(F.col("_b"), F.lit(False)).alias("_is_new"),
+            )
+        )
+        fuzzy_pairs = incremental_candidate_pairs(
+            rep_dim,
+            hot_threshold=hot_threshold,
+            target_block_size=target_block_size,
+            use_lsh=use_lsh,
+            lsh_max_bucket=lsh_max_bucket,
+        )
+        edges = (
+            match_edges(score_pairs(fuzzy_pairs), threshold)
+            .unionByName(star_edges)
+            .persist()
+        )
+    else:
+        updated_dim = (
+            prev_uniq.select(*dim_cols).withColumn("_is_new", F.lit(False))
+        ).unionByName(new_uniq.select(*dim_cols).withColumn("_is_new", F.lit(True)))
+
+        pairs = incremental_candidate_pairs(
+            updated_dim,
+            hot_threshold=hot_threshold,
+            target_block_size=target_block_size,
+            use_lsh=use_lsh,
+            lsh_max_bucket=lsh_max_bucket,
+        )
+        edges = match_edges(score_pairs(pairs), threshold).persist()
+
+    # Quotient-graph contraction (exactness-preserving): rewrite each OLD
+    # endpoint to its prev cluster root before the CC loop, so the loop's
+    # node set is {affected roots} ∪ {edge-incident new emails} — old
+    # members never enter an iteration shuffle. Label correctness: roots
+    # are the min email of their member set and new emails are themselves,
+    # so min-over-quotient-nodes == min-over-underlying-emails, the same
+    # invariant the collapsed batch path relies on
+    # (pipeline.cluster_mentions_collapsed).
+    def _rewrite(col: str) -> Column:
+        return F.coalesce(F.col("_root"), F.col(col)).alias(f"{col}_q")
+
+    root_of = prev_clusters.select(
+        F.col("email").alias("_member"), F.col("cluster_id").alias("_root")
+    )
+    rewritten = (
+        edges.select("src", "dst")
+        .join(root_of, F.col("src") == F.col("_member"), "left")
+        .select(_rewrite("src"), "dst")
+        .join(root_of, F.col("dst") == F.col("_member"), "left")
+        .select(F.col("src_q").alias("src"), _rewrite("dst"))
+        .withColumnRenamed("dst_q", "dst")
+        .where(F.col("src") != F.col("dst"))
         .distinct()
+        .localCheckpoint()
     )
-    affected_ids = (
-        prev_clusters.join(edge_emails, "email", "semi")
-        .select("cluster_id")
-        .distinct()
+    quotient_assign = _assign_components(rewritten)
+
+    # expand: every member of a relabeled old cluster inherits the root's
+    # new label (the root itself is a member, so it is covered too)
+    root_relabel = quotient_assign.select(
+        F.col("email").alias("cluster_id"), F.col("cluster_id").alias("_new")
     )
-    affected = prev_clusters.join(affected_ids, "cluster_id", "semi")
-    star_edges = affected.where(F.col("email") != F.col("cluster_id")).select(
-        F.col("cluster_id").alias("src"), F.col("email").alias("dst")
+    member_assign = prev_clusters.join(root_relabel, "cluster_id").select(
+        "email", F.col("_new").alias("cluster_id")
+    )
+    new_assign = quotient_assign.join(
+        new_uniq.select("email"), "email", "semi"
     )
 
-    assignments = connected_components(
-        edges.select("src", "dst").unionByName(star_edges)
+    untouched = prev_clusters.join(
+        root_relabel.select("cluster_id"), "cluster_id", "left_anti"
     )
-
-    untouched = prev_clusters.join(affected_ids, "cluster_id", "left_anti")
     singletons = (
         new_uniq.select("email")
-        .join(assignments.select("email"), "email", "left_anti")
+        .join(quotient_assign.select("email"), "email", "left_anti")
         .select("email", F.col("email").alias("cluster_id"))
     )
-    clusters = untouched.unionByName(assignments).unionByName(singletons)
+    clusters = (
+        untouched.unionByName(member_assign)
+        .unionByName(new_assign)
+        .unionByName(singletons)
+    )
     return {"clusters": clusters, "uniq": updated_uniq, "edges": edges}

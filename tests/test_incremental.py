@@ -202,3 +202,77 @@ def test_incremental_known_email_reappearing_changes_nothing(spark, corpus_df):
     )
     assert _as_set(out["clusters"]) == _as_set(prev_clusters)
     assert out["edges"].count() == 0
+
+
+# --- collapsed (scale) path -------------------------------------------------
+
+
+def _full_collapsed(mentions, hot_threshold, target_block_size=5_000):
+    from email_address_parser_spark.operators.blocking import exact_match_edges
+    from email_address_parser_spark.pipeline import cluster_mentions_collapsed
+
+    uniq = uniq_valid_mentions(mentions)
+    pairs = candidate_pairs(
+        mentions,
+        hot_threshold=hot_threshold,
+        target_block_size=target_block_size,
+        collapse_exact=True,
+        dedupe=False,
+        uniq=uniq,
+    )
+    fuzzy = match_edges(score_pairs(pairs))
+    return cluster_mentions_collapsed(
+        mentions, fuzzy, exact_match_edges(mentions, uniq=uniq), nodes=uniq
+    )
+
+
+def test_incremental_collapsed_equals_batch_collapsed(spark, corpus_df):
+    """collapse_exact=True fold == the batch collapsed chain over the union."""
+    prev_t, new_t = _split(corpus_df)
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_clusters = _full_collapsed(prev_m, 1 << 40)
+    out = incremental_cluster_update(
+        spark, new_t, prev_clusters, uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40, collapse_exact=True,
+    )
+    full = _full_collapsed(with_canonical(extract_mentions(corpus_df)), 1 << 40)
+    assert _as_set(out["clusters"]) == _as_set(full)
+
+
+def test_incremental_collapsed_salted_equals_batch_collapsed(spark, corpus_df):
+    """Same equivalence with hot-domain salting active in both runs (stars
+    bypass blocking entirely, so salting cannot break within-key recall)."""
+    prev_t, new_t = _split(corpus_df)
+    prev_m = with_canonical(extract_mentions(prev_t))
+    prev_clusters = _full_collapsed(prev_m, 20, target_block_size=16)
+    out = incremental_cluster_update(
+        spark, new_t, prev_clusters, uniq_valid_mentions(prev_m),
+        hot_threshold=20, target_block_size=16, collapse_exact=True,
+    )
+    full = _full_collapsed(
+        with_canonical(extract_mentions(corpus_df)), 20, target_block_size=16
+    )
+    assert _as_set(out["clusters"]) == _as_set(full)
+
+
+def test_incremental_collapsed_new_key_minimum_attaches(spark):
+    """A new variant that becomes its key's MINIMUM email must still join the
+    key's existing component (anchor = prev key root, not the union min)."""
+    cols = ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    prev_t = spark.createDataFrame(
+        pd.DataFrame([("c1", 0, "user", "mail bb@d.com now", None, 0.0)], columns=cols)
+    )
+    new_t = spark.createDataFrame(
+        pd.DataFrame([("c2", 0, "user", "mail b.b@d.com now", None, 0.0)], columns=cols)
+    )
+    prev_m = with_canonical(extract_mentions(prev_t))
+    out = incremental_cluster_update(
+        spark,
+        new_t,
+        _full_collapsed(prev_m, 1 << 40),
+        uniq_valid_mentions(prev_m),
+        hot_threshold=1 << 40,
+        collapse_exact=True,
+    )
+    got = _as_set(out["clusters"])
+    assert got == {("bb@d.com", "b.b@d.com"), ("b.b@d.com", "b.b@d.com")}
