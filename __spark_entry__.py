@@ -123,6 +123,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # the FULL-corpus clustering, so a triple-match proves the
         # incremental path equals a from-scratch recompute
         "er_incremental": _er_incremental,
+        # v2 state-maintained fold: every derived dim (reps, domain counts,
+        # LSH bucket counts) is merged from persisted state instead of
+        # re-aggregated, and the fold emits a delta; same full-recompute
+        # oracle certifies fold == from-scratch clustering
+        "er_incremental_fold": _er_incremental_fold,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -250,6 +255,27 @@ def _er_incremental(spark: SparkSession, sf: str) -> DataFrame:
         hot_threshold=1 << 40,
     )
     return out["clusters"]
+
+
+def _er_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
+    """v2 of G24 (operators/incremental.py `fold_batch`): bootstrap the fold
+    state (uniq + reps + domain_counts + bucket_counts + clusters) from the
+    ~80% split, then fold the ~20% batch in. Unlike v1
+    (`incremental_cluster_update`), every derived statistic is min-/count-
+    merged from state rather than re-aggregated over the corpus dim, and the
+    fold's native output is a DELTA of assignments; here we return the full
+    updated view so the SAME full-corpus clustering oracle as er_clusters /
+    er_incremental certifies fold == from-scratch recompute."""
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+        fold_batch,
+    )
+
+    t = derive_transcripts(spark, sf)
+    is_prev = F.pmod(F.xxhash64("conv_id"), F.lit(5)) < 4
+    state = build_incremental_state(spark, t.where(is_prev), hot_threshold=1 << 40)
+    out = fold_batch(spark, t.where(~is_prev), state, hot_threshold=1 << 40)
+    return out["clusters"].select("email", "cluster_id")
 
 
 def _mentions_of(transcripts: DataFrame) -> DataFrame:
@@ -719,6 +745,8 @@ def oracle_sql() -> dict[str, str]:
         "er_clusters": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
         # incremental == full recompute: the oracle IS the full-corpus clustering
         "er_incremental": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
+        "er_incremental_fold": _ORACLE_CLUSTERS
+        + "SELECT email, cluster_id FROM clusters",
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",

@@ -1,23 +1,28 @@
 #!/usr/bin/env python
-"""Incremental-maintenance A/B: fold a 20% transcript batch into checkpointed
-clusters vs recomputing clusters from scratch (the nightly-rebuild
-alternative). Same session, same blocking config as bench.py, best-of-N with
-the Spark cache cleared between repetitions (the box is +/-30% noisy; see
-BENCH/BASELINE.md methodology).
+"""Incremental-maintenance A/B: fold one transcript batch into persisted
+state (operators/incremental.fold_batch) vs recomputing clusters from
+scratch (the nightly-rebuild alternative). Same session and blocking config
+as bench.py, best-of-N with the cache cleared between repetitions (the box
+is +/-30% noisy; see BENCH/BASELINE.md methodology).
 
-State (prev clusters + prev distinct-email dim) is written to and re-read
-from parquet, exactly like pipeline.CheckpointManager state in prod.
+State (uniq + reps + domain_counts + bucket_counts + clusters) is written
+to and re-read from parquet, like pipeline.CheckpointManager state in prod
+(Iceberg tables bucketed by their join keys there).
 
 Variants timed:
-  incremental     — extract ONLY the batch, block/score only new-incident
-                    pairs, CC on the affected subgraph (operators/incremental)
-  full            — extract 100% of turns, optimized collapsed batch chain
-                    (bench.py's er_pipeline path)
-  full_ckpt_seed  — full chain, but the 80% mention extraction is already
-                    cached (stage-checkpoint credit): isolates the pair/CC
-                    work incremental avoids
+  fold_delta      — the per-batch cost that matters at 10^12 turns:
+                    extract the batch, score only batch-incident rep pairs,
+                    quotient CC, emit the DELTA of assignments (prod writes
+                    it with a partition-pruned MERGE)
+  fold_full_view  — same fold, but also materializing the full updated
+                    clusters view (the O(dim) union a small-corpus caller
+                    might want)
+  full            — recompute from raw transcripts, optimized collapsed
+                    batch chain (bench.py's er_pipeline path)
 
-Prints ONE JSON line.
+The scaling law to read: at a FIXED batch size, fold_delta stays flat as
+SPARK_GRAFT_REPL grows the corpus (disjoint identity spaces), while `full`
+grows linearly. Prints ONE JSON line.
 """
 
 from __future__ import annotations
@@ -39,8 +44,9 @@ from email_address_parser_spark.operators.blocking import (
 )
 from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
 from email_address_parser_spark.operators.incremental import (
-    incremental_cluster_update,
-    with_minhash_bands,
+    STATE_TABLES,
+    build_incremental_state,
+    fold_batch,
 )
 from email_address_parser_spark.operators.scoring import match_edges, score_pairs
 from email_address_parser_spark.pipeline import cluster_mentions_collapsed
@@ -50,6 +56,13 @@ from email_address_parser_spark.sources.testdata import derive_transcripts
 HOT_THRESHOLD = 200
 TARGET_BLOCK = 64
 REPS = 3
+# corpus replication factor (disjoint identity spaces — see
+# sources.testdata.replicate_transcripts) and batch denominator: 1/D of
+# conversations form the fold batch. The scaling law that matters at 10^12
+# turns is fold-vs-corpus-size at a FIXED batch: SPARK_GRAFT_REPL=4,8,...
+# with SPARK_GRAFT_BATCH_DEN scaled to keep the batch constant.
+REPL = int(os.environ.get("SPARK_GRAFT_REPL", "1"))
+BATCH_DEN = int(os.environ.get("SPARK_GRAFT_BATCH_DEN", "5"))
 
 
 def _force(df) -> None:
@@ -91,57 +104,51 @@ def main() -> None:
         },
     )
 
-    transcripts = derive_transcripts(spark, sf_dir).persist()
+    transcripts = derive_transcripts(spark, sf_dir)
+    if REPL > 1:
+        from email_address_parser_spark.sources.testdata import replicate_transcripts
+
+        transcripts = replicate_transcripts(transcripts, REPL)
+    transcripts = transcripts.persist()
     n_turns = transcripts.count()
-    is_prev = F.pmod(F.xxhash64("conv_id"), F.lit(5)) < 4
+    is_prev = F.pmod(F.xxhash64("conv_id"), F.lit(BATCH_DEN)) != 0
     prev_t = transcripts.where(is_prev).persist()
     new_t = transcripts.where(~is_prev).persist()
     n_batch = new_t.count()
 
-    # ---- build + checkpoint prev state (untimed; doubles as whole-chain warmup)
-    prev_m = with_canonical(extract_mentions(prev_t))
-    prev_uniq_df = uniq_valid_mentions(prev_m)
-    prev_clusters_df = _full_collapsed_clusters(prev_m)
-    # state carries the LSH band signatures (pure function of the email,
-    # append-only across folds) so the fold only bands the batch
-    with_minhash_bands(prev_uniq_df).write.mode("overwrite").parquet(
-        f"{state_dir}/uniq"
+    # ---- bootstrap + checkpoint state (untimed; doubles as chain warmup)
+    state = build_incremental_state(
+        spark, prev_t, hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK
     )
-    prev_clusters_df.write.mode("overwrite").parquet(f"{state_dir}/clusters")
+    for name in STATE_TABLES:
+        state[name].write.mode("overwrite").parquet(f"{state_dir}/{name}")
 
-    def run_incremental() -> None:
-        out = incremental_cluster_update(
-            spark,
-            new_t,
-            spark.read.parquet(f"{state_dir}/clusters"),
-            spark.read.parquet(f"{state_dir}/uniq"),
-            hot_threshold=HOT_THRESHOLD,
-            target_block_size=TARGET_BLOCK,
-            collapse_exact=True,
+    def _load_state():
+        return {
+            name: spark.read.parquet(f"{state_dir}/{name}") for name in STATE_TABLES
+        }
+
+    def run_fold_delta() -> None:
+        out = fold_batch(
+            spark, new_t, _load_state(),
+            hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK,
+        )
+        _force(out["delta"])
+
+    def run_fold_full_view() -> None:
+        out = fold_batch(
+            spark, new_t, _load_state(),
+            hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK,
         )
         _force(out["clusters"])
 
     def run_full() -> None:
         _force(_full_collapsed_clusters(with_canonical(extract_mentions(transcripts))))
 
-    mentions_cache = {}
-
-    def run_full_ckpt_seed() -> None:
-        # 80% mentions pre-cached once (stage-checkpoint credit), batch
-        # extraction + full pair/score/CC still timed
-        if "m" not in mentions_cache:
-            m = with_canonical(extract_mentions(prev_t)).persist()
-            m.count()
-            mentions_cache["m"] = m
-        all_m = mentions_cache["m"].unionByName(
-            with_canonical(extract_mentions(new_t))
-        )
-        _force(_full_collapsed_clusters(all_m))
-
     variants = {
-        "incremental": run_incremental,
+        "fold_delta": run_fold_delta,
+        "fold_full_view": run_fold_full_view,
         "full": run_full,
-        "full_ckpt_seed": run_full_ckpt_seed,
     }
     timings = {}
     for name, fn in variants.items():
@@ -150,10 +157,6 @@ def main() -> None:
             spark.catalog.clearCache()
             transcripts.persist(), prev_t.persist(), new_t.persist()
             new_t.count()
-            if name == "full_ckpt_seed":
-                mentions_cache.clear()
-                mentions_cache["m"] = with_canonical(extract_mentions(prev_t)).persist()
-                mentions_cache["m"].count()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -161,18 +164,17 @@ def main() -> None:
         timings[name] = round(best, 3)
 
     result = {
-        "metric": "incremental cluster maintenance vs full recompute (20% batch fold)",
-        "value": timings["incremental"],
+        "metric": "incremental fold (delta) vs full recompute "
+        f"(1/{BATCH_DEN} batch, corpus x{REPL})",
+        "value": timings["fold_delta"],
         "unit": "sec",
         "queries": timings,
-        "speedup_vs_full": round(timings["full"] / timings["incremental"], 2),
-        "speedup_vs_full_ckpt_seed": round(
-            timings["full_ckpt_seed"] / timings["incremental"], 2
-        ),
+        "speedup_vs_full": round(timings["full"] / timings["fold_delta"], 2),
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,
         "batch_turns": n_batch,
+        "repl": REPL,
         "reps": REPS,
         "aggregation": "best-of-N per variant, cache cleared between reps",
     }

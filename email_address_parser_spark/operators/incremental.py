@@ -14,7 +14,12 @@ neighborhood|:
   2. re-block the union dim (an O(|distinct emails|) aggregate + join over
      the tiny dim, NOT the corpus) and generate only pairs touching >= 1
      genuinely new email. Old<->old pairs are never regenerated — their
-     match verdicts are already folded into `prev_clusters`;
+     match verdicts are already folded into `prev_clusters`. LSH band
+     signatures are pure functions of the email, so they ride the dim state
+     (append-only: `with_minhash_bands`) and the signature UDF only ever
+     runs over the batch; the pair self-join's b side is semi-restricted to
+     key values containing a new row, so untouched blocks never enter the
+     join shuffle;
   3. score only those pairs (same Arrow-batch JW/Levenshtein kernels as the
      batch path) and threshold to edges;
   4. contract old clusters to their roots (quotient graph): every OLD edge
@@ -173,10 +178,11 @@ def incremental_candidate_pairs(
         bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
             F.count(F.lit(1)).alias("_bn")
         )
+        # persist: referenced three times by _restricted_pairs (see above)
         bounded = with_bands.join(
             bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
             ["band_idx", "band_sig"],
-        )
+        ).persist()
         lsh_pairs = _restricted_pairs(
             bounded, ["band_idx", "band_sig", "domain_canon"], cross_block=True
         ).dropDuplicates(["email_a", "email_b"])
@@ -402,3 +408,349 @@ def incremental_cluster_update(
         .unionByName(singletons)
     )
     return {"clusters": clusters, "uniq": updated_uniq, "edges": edges}
+
+
+# ---------------------------------------------------------------------------
+# v2: fully state-maintained fold (delta-emitting, no O(dim) shuffle)
+# ---------------------------------------------------------------------------
+
+STATE_TABLES = ("uniq", "reps", "domain_counts", "bucket_counts", "clusters")
+
+
+def build_incremental_state(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    hot_threshold: int = 10_000,
+    target_block_size: int = 5_000,
+    use_lsh: bool = True,
+    lsh_max_bucket: int = 50,
+    threshold: float = DEFAULT_THRESHOLD,
+) -> Dict[str, DataFrame]:
+    """One-time bootstrap of the fold state from a corpus (the batch
+    collapsed pipeline plus the derived dims `fold_batch` maintains):
+
+      uniq          — distinct valid emails + canon cols + band_sigs
+      reps          — one representative per match_key (min email, its
+                      local_canon and band_sigs)
+      domain_counts — rep count per domain_canon (the salting statistic the
+                      collapsed batch path derives on the fly)
+      bucket_counts — rep count per LSH (band_idx, band_sig) bucket
+      clusters      — (email, cluster_id), the collapsed-path clustering
+
+    In prod every table is an Iceberg table bucketed by its join key; a fold
+    then co-locates against state with partition-pruned scans instead of
+    shuffles."""
+    from .blocking import candidate_pairs, exact_match_edges
+    from ..pipeline import cluster_mentions_collapsed
+
+    mentions = with_canonical(extract_mentions(transcripts))
+    uniq = uniq_valid_mentions(mentions)
+    if use_lsh:
+        uniq = with_minhash_bands(uniq)
+    rep_aggs = [
+        F.min("email").alias("email"),
+        F.min_by("local_canon", "email").alias("local_canon"),
+    ]
+    if use_lsh:
+        rep_aggs.append(F.min_by("band_sigs", "email").alias("band_sigs"))
+    reps = uniq.groupBy("match_key", "domain_canon").agg(*rep_aggs)
+    domain_counts = reps.groupBy("domain_canon").agg(
+        F.count(F.lit(1)).alias("_dom_n")
+    )
+    bucket_counts = (
+        reps.select(F.posexplode("band_sigs").alias("band_idx", "band_sig"))
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        if use_lsh
+        else None
+    )
+    pairs = candidate_pairs(
+        mentions,
+        hot_threshold=hot_threshold,
+        target_block_size=target_block_size,
+        use_lsh=use_lsh,
+        lsh_max_bucket=lsh_max_bucket,
+        collapse_exact=True,
+        dedupe=False,
+        uniq=uniq.select("email", "local_canon", "domain_canon", "match_key"),
+    )
+    fuzzy = match_edges(score_pairs(pairs), threshold)
+    clusters = cluster_mentions_collapsed(
+        mentions,
+        fuzzy,
+        exact_match_edges(mentions, uniq=uniq.select("email", "match_key")),
+        nodes=uniq,
+    )
+    return {
+        "uniq": uniq,
+        "reps": reps,
+        "domain_counts": domain_counts,
+        "bucket_counts": bucket_counts,
+        "clusters": clusters,
+    }
+
+
+def fold_batch(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    state: Dict[str, DataFrame],
+    hot_threshold: int = 10_000,
+    target_block_size: int = 5_000,
+    use_lsh: bool = True,
+    lsh_max_bucket: int = 50,
+    threshold: float = DEFAULT_THRESHOLD,
+    new_mentions: Optional[DataFrame] = None,
+) -> Dict[str, DataFrame]:
+    """Fold one batch into `state` touching only the batch and its affected
+    neighborhood — the web-scale shape of G24:
+
+      * every derived statistic (key reps, domain counts, LSH bucket counts)
+        is READ from state and min-/count-merged with the batch — never
+        re-aggregated over the corpus dim;
+      * scoring partners come from state.reps pruned to the batch's domains
+        and touched (band, sig) buckets — broadcast filters over a scan, no
+        dim shuffle (in prod the scan itself partition-prunes);
+      * the CC loop runs on the quotient graph (prev clusters contracted to
+        roots) with the star-forest fast path;
+      * the result is a DELTA of assignments (changed or new emails only).
+        `clusters` (the full updated view) and the updated state tables are
+        returned lazily; prod persists them with partition-level MERGE
+        writes, so the per-fold write cost is also delta-sized.
+
+    Equivalence contract: identical clusters to `build_incremental_state`'s
+    collapsed batch chain over the union corpus, under the same
+    no-blocking-transition proviso as `incremental_cluster_update` — pinned
+    by tests/test_incremental.py (single and chained folds)."""
+    if new_mentions is None:
+        new_mentions = with_canonical(extract_mentions(new_transcripts))
+    batch_uniq = uniq_valid_mentions(new_mentions)
+    if use_lsh:
+        batch_uniq = with_minhash_bands(batch_uniq)
+    # prod: state.uniq is bucketed by email -> co-located anti-join
+    new_uniq = batch_uniq.join(
+        state["uniq"].select("email"), "email", "left_anti"
+    ).persist()
+
+    batch_keys = new_uniq.select("match_key").distinct()
+    batch_domains = new_uniq.select("domain_canon").distinct()
+
+    # --- affected reps: min-merge of the state slice with the batch --------
+    prev_slice = state["reps"].join(
+        F.broadcast(batch_keys), "match_key", "left_semi"
+    ).persist()
+    rep_aggs = [
+        F.min("email").alias("email"),
+        F.min_by("local_canon", "email").alias("local_canon"),
+    ]
+    if use_lsh:
+        rep_aggs.append(F.min_by("band_sigs", "email").alias("band_sigs"))
+    merged_reps = (
+        prev_slice.unionByName(
+            new_uniq.select(*prev_slice.columns)
+        )
+        .groupBy("match_key", "domain_canon")
+        .agg(*rep_aggs)
+        .persist()
+    )
+
+    # --- star edges: new variants anchor to the key's prev root ------------
+    anchors = (
+        new_uniq.groupBy("match_key").agg(F.min("email").alias("_new_root"))
+        .join(
+            prev_slice.select("match_key", F.col("email").alias("_prev_root")),
+            "match_key",
+            "left",
+        )
+        .select(
+            "match_key", F.coalesce("_prev_root", "_new_root").alias("_root")
+        )
+    )
+    star_edges = (
+        new_uniq.select("email", "match_key")
+        .join(F.broadcast(anchors), "match_key")
+        .where(F.col("email") != F.col("_root"))
+        .select(
+            F.col("_root").alias("src"),
+            F.col("email").alias("dst"),
+            F.lit(1.0).alias("score"),
+        )
+    )
+
+    # --- salting statistics: touched domains only ---------------------------
+    new_key_domains = (
+        merged_reps.join(F.broadcast(prev_slice.select("match_key")),
+                         "match_key", "left_anti")
+        .groupBy("domain_canon")
+        .agg(F.count(F.lit(1)).alias("_delta"))
+    )
+    # NOTE: no broadcast hints on the outer merges — a FULL OUTER join
+    # cannot hash-broadcast either side, so the hint degrades to a
+    # BroadcastNestedLoopJoin (quadratic compares). Both sides here are
+    # touched-slice sized; sort-merge is the right plan.
+    touched_counts = (
+        state["domain_counts"]
+        .join(F.broadcast(batch_domains), "domain_canon", "left_semi")
+        .join(new_key_domains, "domain_canon", "outer")
+        .select(
+            "domain_canon",
+            (F.coalesce(F.col("_dom_n"), F.lit(0))
+             + F.coalesce(F.col("_delta"), F.lit(0))).alias("_dom_n"),
+        )
+    ).persist()
+
+    # --- partner slice: state reps in the batch's domains -------------------
+    partners = (
+        state["reps"]
+        .join(F.broadcast(batch_domains), "domain_canon", "left_semi")
+        .join(F.broadcast(batch_keys), "match_key", "left_anti")
+    )
+    fold_dim = (
+        partners.withColumn("_is_new", F.lit(False))
+        .unionByName(merged_reps.withColumn("_is_new", F.lit(True)))
+        .drop("match_key")
+    )
+    blocked = with_salted_domain_block(
+        fold_dim, hot_threshold, target_block_size, sizes=touched_counts
+    ).persist()
+    pairs = _restricted_pairs(
+        blocked.select("block_key", "email", "local_canon", "domain_canon", "_is_new"),
+        ["block_key"],
+    )
+
+    bucket_updates = None
+    if use_lsh:
+        # --- bucket counts: remove replaced reps' bands, add merged reps' --
+        removed = prev_slice.select(
+            F.posexplode("band_sigs").alias("band_idx", "band_sig")
+        ).groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_rm"))
+        added = merged_reps.select(
+            F.posexplode("band_sigs").alias("band_idx", "band_sig")
+        ).groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_ad"))
+        touched_buckets = (
+            removed.select("band_idx", "band_sig")
+            .union(added.select("band_idx", "band_sig"))
+            .distinct()
+        )
+        bucket_updates = (
+            state["bucket_counts"]
+            .join(F.broadcast(touched_buckets), ["band_idx", "band_sig"], "left_semi")
+            .join(removed, ["band_idx", "band_sig"], "outer")
+            .join(added, ["band_idx", "band_sig"], "outer")
+            .select(
+                "band_idx",
+                "band_sig",
+                (
+                    F.coalesce(F.col("_bn"), F.lit(0))
+                    - F.coalesce(F.col("_rm"), F.lit(0))
+                    + F.coalesce(F.col("_ad"), F.lit(0))
+                ).alias("_bn"),
+            )
+        ).persist()
+        new_bands = merged_reps.select(
+            "email", "local_canon", "domain_canon",
+            F.lit(True).alias("_is_new"),
+            F.posexplode("band_sigs").alias("band_idx", "band_sig"),
+        )
+        partner_bands = (
+            partners.select(
+                "email", "local_canon", "domain_canon",
+                F.lit(False).alias("_is_new"),
+                F.posexplode("band_sigs").alias("band_idx", "band_sig"),
+            )
+            .join(
+                F.broadcast(new_bands.select("band_idx", "band_sig").distinct()),
+                ["band_idx", "band_sig"],
+                "left_semi",
+            )
+        )
+        # persist: _restricted_pairs references this subtree three times
+        # (new-key probe + both self-join sides) and Spark has no
+        # compile-time exchange reuse across repeated non-cached refs
+        bounded = (
+            new_bands.unionByName(partner_bands)
+            .join(
+                F.broadcast(bucket_updates.where(F.col("_bn") <= lsh_max_bucket)),
+                ["band_idx", "band_sig"],
+            )
+            .join(
+                blocked.select("email", "block_key"), "email"
+            )
+            .persist()
+        )
+        lsh_pairs = _restricted_pairs(
+            bounded, ["band_idx", "band_sig", "domain_canon"], cross_block=True
+        ).dropDuplicates(["email_a", "email_b"])
+        pairs = pairs.unionByName(lsh_pairs)
+
+    edges = (
+        match_edges(score_pairs(pairs), threshold)
+        .unionByName(star_edges)
+        .persist()
+    )
+
+    # --- quotient contraction + assignment (shared with v1 semantics) ------
+    root_of = state["clusters"].select(
+        F.col("email").alias("_member"), F.col("cluster_id").alias("_root")
+    )
+    edge_set = edges.select("src", "dst").persist()
+    rewritten = (
+        edge_set
+        .join(root_of, F.col("src") == F.col("_member"), "left")
+        .select(F.coalesce(F.col("_root"), F.col("src")).alias("src_q"), "dst")
+        .join(root_of, F.col("dst") == F.col("_member"), "left")
+        .select(
+            F.col("src_q").alias("src"),
+            F.coalesce(F.col("_root"), F.col("dst")).alias("dst"),
+        )
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    quotient_assign = _assign_components(rewritten)
+
+    root_relabel = quotient_assign.select(
+        F.col("email").alias("cluster_id"), F.col("cluster_id").alias("_new")
+    )
+    member_assign = state["clusters"].join(
+        F.broadcast(root_relabel), "cluster_id"
+    ).select("email", F.col("_new").alias("cluster_id"))
+    new_assign = quotient_assign.join(new_uniq.select("email"), "email", "semi")
+    singletons = (
+        new_uniq.select("email")
+        .join(quotient_assign.select("email"), "email", "left_anti")
+        .select("email", F.col("email").alias("cluster_id"))
+    )
+    delta = member_assign.unionByName(new_assign).unionByName(singletons)
+
+    untouched = state["clusters"].join(
+        F.broadcast(root_relabel.select("cluster_id")), "cluster_id", "left_anti"
+    )
+    clusters_view = untouched.unionByName(delta)
+
+    new_state = {
+        "uniq": state["uniq"].unionByName(new_uniq),
+        "reps": state["reps"]
+        .join(F.broadcast(batch_keys), "match_key", "left_anti")
+        .unionByName(merged_reps),
+        "domain_counts": state["domain_counts"]
+        .join(F.broadcast(batch_domains), "domain_canon", "left_anti")
+        .unionByName(touched_counts),
+        "bucket_counts": (
+            state["bucket_counts"]
+            .join(
+                F.broadcast(bucket_updates.select("band_idx", "band_sig")),
+                ["band_idx", "band_sig"],
+                "left_anti",
+            )
+            .unionByName(bucket_updates)
+            if use_lsh
+            else None
+        ),
+        "clusters": clusters_view,
+    }
+    return {
+        "delta": delta,
+        "clusters": clusters_view,
+        "edges": edges,
+        "state": new_state,
+    }

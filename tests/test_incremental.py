@@ -276,3 +276,62 @@ def test_incremental_collapsed_new_key_minimum_attaches(spark):
     )
     got = _as_set(out["clusters"])
     assert got == {("bb@d.com", "b.b@d.com"), ("b.b@d.com", "b.b@d.com")}
+
+
+# --- v2: state-maintained delta fold -----------------------------------------
+
+
+def test_fold_batch_equals_batch_collapsed(spark, corpus_df):
+    """fold_batch over bootstrap state == the batch collapsed chain on the
+    union corpus; the delta is a subset of the final view and disjoint-union
+    with the untouched rows reconstructs it."""
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+        fold_batch,
+    )
+
+    prev_t, new_t = _split(corpus_df)
+    state = build_incremental_state(spark, prev_t, hot_threshold=1 << 40)
+    out = fold_batch(spark, new_t, state, hot_threshold=1 << 40)
+    full = _full_collapsed(with_canonical(extract_mentions(corpus_df)), 1 << 40)
+    got = _as_set(out["clusters"])
+    assert got == _as_set(full)
+    delta = _as_set(out["delta"])
+    assert delta <= got
+    assert len(delta) < len(got), "delta must be smaller than the full view"
+
+
+def test_fold_batch_chained_salted(spark, corpus_df):
+    """Two successive folds (state threaded through, salting ACTIVE) equal
+    the batch collapsed chain over the 3-way union — the state tables
+    (reps/domain_counts/bucket_counts) stay consistent across folds."""
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+        fold_batch,
+    )
+
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    b0 = corpus_df.where(h == 0)
+    b1 = corpus_df.where(h == 1)
+    b2 = corpus_df.where(h == 2)
+
+    def _ckpt(state):
+        return {
+            k: (v.localCheckpoint() if v is not None else None)
+            for k, v in state.items()
+        }
+
+    state = _ckpt(
+        build_incremental_state(spark, b0, hot_threshold=25, target_block_size=16)
+    )
+    mid = fold_batch(
+        spark, b1, state, hot_threshold=25, target_block_size=16
+    )
+    state2 = _ckpt(mid["state"])
+    out = fold_batch(
+        spark, b2, state2, hot_threshold=25, target_block_size=16
+    )
+    full = _full_collapsed(
+        with_canonical(extract_mentions(corpus_df)), 25, target_block_size=16
+    )
+    assert _as_set(out["clusters"]) == _as_set(full)
