@@ -87,13 +87,13 @@ def parse_batch(values: pd.Series) -> pd.DataFrame:
         cand = values[resid & (values.str.count(r"\(") >= 2)]
         if len(cand):
             for ix, s in cand.items():
-                deep_strict, deep_lax = deep_patterns(paren_depth_bound(s))
-                m = deep_strict.fullmatch(s)
+                deep = deep_patterns(paren_depth_bound(s))
+                m = deep.strict.fullmatch(s)
                 if m is not None:
                     valid_strict.loc[ix] = True
                     valid_lax.loc[ix] = True
                 else:
-                    m = deep_lax.fullmatch(s)
+                    m = deep.lax.fullmatch(s)
                     if m is not None:
                         valid_lax.loc[ix] = True
                 if m is not None:
@@ -122,9 +122,9 @@ def _deep_retry(v: pd.Series, ok: pd.Series, lax: bool) -> pd.Series:
         cand = v[resid & (v.str.count(r"\(") >= 2)]
         if len(cand):
             for ix, s in cand.items():
-                deep_strict, deep_lax = deep_patterns(paren_depth_bound(s))
-                hit = deep_strict.fullmatch(s) is not None or (
-                    lax and deep_lax.fullmatch(s) is not None
+                deep = deep_patterns(paren_depth_bound(s))
+                hit = deep.strict.fullmatch(s) is not None or (
+                    lax and deep.lax.fullmatch(s) is not None
                 )
                 if hit:
                     ok.loc[ix] = True

@@ -81,7 +81,16 @@ FWS_STAR = FWS_OPT
 # comment, with exactly one inner nesting level (corpus max depth is 2:
 # isemail_tests.xml case '(comment(comment))test@iana.org'); the regex twin bounds
 # nesting the same way (index.ts:20)
-_CCONTENT_FLAT = f"(?:{CTEXT}|{QUOTED_PAIR})"
+#
+# ccontent = ctext / quoted-pair. CTEXT above mirrors the reference's union of
+# RFC productions for audit parity; the patterns use the provably-equal single
+# negated class — the union admits every codepoint EXCEPT
+# {NUL, TAB, LF, CR, SP, '(', ')', '\\'} (pinned by test_grammar_properties) —
+# which is 1/3 the characters per occurrence. That matters for deep_patterns()
+# below: ccontent appears once per nesting level at up to 15 grammar sites in
+# the lax pattern, so the depth-128 compile cost scales with this literal.
+_CTEXT_COMPACT = r"[^\x00\t\n\r ()\\]"
+_CCONTENT_FLAT = f"(?:{_CTEXT_COMPACT}|{QUOTED_PAIR})"
 COMMENT = (
     f"\\((?:{FWS_OPT}(?:{_CCONTENT_FLAT}|\\((?:{_CCONTENT_FLAT})*\\)))*{FWS_OPT}\\)"
 )
@@ -174,19 +183,29 @@ MAX_COMMENT_DEPTH = 128
 
 try:  # possessive quantifiers require Python >= 3.11
     re.compile("a*+")
-    _PSTAR, _POPT = "*+", "?+"
+    _PSTAR = "*+"
 except re.error:  # pragma: no cover — container runs 3.11
-    _PSTAR, _POPT = "*", "?"
-
-_FWS_P = rf"(?:\r\n)?[ \t](?:[ \t]|\r\n[ \t]){_PSTAR}"
-_FWS_OPT_P = f"(?:{_FWS_P}){_POPT}"
+    _PSTAR = "*"
 
 
 def _comment_pattern(depth: int) -> str:
-    inner = f"(?:{_FWS_OPT_P}{_CCONTENT_FLAT}){_PSTAR}{_FWS_OPT_P}"
-    pat = f"\\({inner}\\)"
+    """Comment nested to exactly <= `depth`, in TOKEN form: inside a comment
+    the body is any sequence over {WSP, CRLF WSP, ctext, quoted-pair, nested
+    comment}. This is language-equal to the grammar's (FWS? ccontent)* FWS?
+    spelling — FWS? is precisely the possibly-empty token sequences over
+    {WSP, CRLF WSP} (first-token case split: a nonempty run starts WSP ≡ FWS
+    without leading CRLF, or CRLF WSP ≡ FWS with one), so interleavings of
+    FWS runs and ccontent are exactly the token sequences. Equivalence is
+    fuzz-pinned by tests. The next token is decided by its first character
+    ([ \\t] WSP, \\r CRLF, '(' nested, '\\\\' quoted-pair, ')' close, else
+    ctext), so possessive repetition preserves the language while keeping
+    matching linear on adversarial input — and the flat alternation compiles
+    ~2x faster than the FWS?-factored form (re compile cost tracks group
+    nesting, not just pattern bytes; this is the deep-bucket cold-start)."""
+    body = f"(?:[ \\t]|\\r\\n[ \\t]|{_CCONTENT_FLAT}"
+    pat = f"\\({body}){_PSTAR}\\)"
     for _ in range(depth - 1):
-        pat = f"\\((?:{_FWS_OPT_P}(?:{_CCONTENT_FLAT}|{pat})){_PSTAR}{_FWS_OPT_P}\\)"
+        pat = f"\\({body}|{pat}){_PSTAR}\\)"
     return pat
 
 
@@ -208,21 +227,57 @@ def paren_depth_bound(value: str) -> int:
     return best
 
 
-def deep_patterns(depth_needed: int) -> tuple:
-    """(strict_re, lax_re) whose comments nest to the smallest bucket
-    >= depth_needed (capped at MAX_COMMENT_DEPTH — deeper input is invalid
-    under the bucket pattern exactly as under the Rust parser's cap).
-    Compiled lazily and cached per bucket: the common deep case (depth 3-4)
-    compiles a small pattern in ~70 ms once per interpreter; the full
-    128-deep pattern is only ever built for inputs that really nest > 64."""
+class DeepPair:
+    """Deep (strict, lax) patterns for one depth bucket, compiled lazily PER
+    KIND: the lax grammar embeds the bucket's comment pattern at 15 sites vs
+    the strict grammar's 4, so its compile costs ~4x — and strict-only
+    callers (is_valid_strict_udf, parse with is_lax=False) never need it.
+    Indexable like the old tuple ([0]=strict, [1]=lax); indexing one kind
+    does not compile the other."""
+
+    __slots__ = ("_comment", "_strict", "_lax")
+
+    def __init__(self, comment: str):
+        self._comment = comment
+        self._strict = None
+        self._lax = None
+
+    @property
+    def strict(self):
+        if self._strict is None:
+            self._strict = re.compile(
+                EMAIL_STRICT_PATTERN.replace(COMMENT, self._comment)
+            )
+        return self._strict
+
+    @property
+    def lax(self):
+        if self._lax is None:
+            self._lax = re.compile(
+                EMAIL_LAX_PATTERN.replace(COMMENT, self._comment)
+            )
+        return self._lax
+
+    def __getitem__(self, i: int):
+        if i == 0:
+            return self.strict
+        if i in (1, -1):
+            return self.lax
+        raise IndexError(i)
+
+
+def deep_patterns(depth_needed: int) -> DeepPair:
+    """DeepPair whose comments nest to the smallest bucket >= depth_needed
+    (capped at MAX_COMMENT_DEPTH — deeper input is invalid under the bucket
+    pattern exactly as under the Rust parser's cap). The pair is cached per
+    bucket and each kind compiles on first use — a one-time, per-interpreter
+    cost (bucket-128 strict ~60 ms; lax ~4x), amortized across every row the
+    worker processes; matching itself stays linear on adversarial input."""
     bucket = next(
         (b for b in _DEPTH_BUCKETS if b >= depth_needed), MAX_COMMENT_DEPTH
     )
     if bucket not in _DEEP_CACHE:
-        deep = _comment_pattern(bucket)
-        strict = EMAIL_STRICT_PATTERN.replace(COMMENT, deep)
-        lax = EMAIL_LAX_PATTERN.replace(COMMENT, deep)
-        _DEEP_CACHE[bucket] = (re.compile(strict), re.compile(lax))
+        _DEEP_CACHE[bucket] = DeepPair(_comment_pattern(bucket))
     return _DEEP_CACHE[bucket]
 
 

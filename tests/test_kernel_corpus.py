@@ -191,3 +191,96 @@ def test_deep_comment_nesting_rust_parity():
     t0 = time.perf_counter()
     assert not is_valid_email("(" * 120 + " a " * 50 + "@x.y", True)
     assert (time.perf_counter() - t0) < 0.5
+
+
+def test_ctext_compact_class_equals_rfc_union():
+    """The single negated class the patterns use is exactly the union of the
+    reference's three ctext productions (printable-minus-()\\ + non-ASCII +
+    obs-NO-WS-CTL): every codepoint except NUL TAB LF CR SP ( ) backslash.
+    Checked exhaustively over ASCII + Latin-1 + BMP/astral samples."""
+    import re
+
+    from email_address_parser_spark.kernel.grammar import CTEXT, _CTEXT_COMPACT
+
+    rfc = re.compile(CTEXT)
+    compact = re.compile(_CTEXT_COMPACT)
+    cps = list(range(0x0, 0x300)) + [0x2028, 0xFFFD, 0x1F600, 0x10FFFF]
+    for cp in cps:
+        ch = chr(cp)
+        assert (rfc.fullmatch(ch) is None) == (compact.fullmatch(ch) is None), hex(cp)
+
+
+def test_deep_comment_token_form_equals_factored_spelling():
+    """_comment_pattern's flat token form (compile-cost optimized) accepts
+    exactly the grammar's (FWS? ccontent)* FWS? factored spelling — the
+    specification form, built independently here — on deterministic edges and
+    4k random comment-soup candidates, under both grammars."""
+    import random
+    import re
+
+    from email_address_parser_spark.kernel import grammar as g
+
+    def factored(depth: int) -> str:
+        fws_opt = r"(?:(?:\r\n)?[ \t](?:[ \t]|\r\n[ \t])*)?"
+        inner = f"(?:{fws_opt}{g._CCONTENT_FLAT})*{fws_opt}"
+        pat = f"\\({inner}\\)"
+        for _ in range(depth - 1):
+            pat = (
+                f"\\((?:{fws_opt}(?:{g._CCONTENT_FLAT}|{pat}))*{fws_opt}\\)"
+            )
+        return pat
+
+    depth = 6  # small enough that the backtracking spec form stays fast
+    spec_lax = re.compile(g.EMAIL_LAX_PATTERN.replace(g.COMMENT, factored(depth)))
+    spec_strict = re.compile(
+        g.EMAIL_STRICT_PATTERN.replace(g.COMMENT, factored(depth))
+    )
+    tok_lax = re.compile(
+        g.EMAIL_LAX_PATTERN.replace(g.COMMENT, g._comment_pattern(depth))
+    )
+    tok_strict = re.compile(
+        g.EMAIL_STRICT_PATTERN.replace(g.COMMENT, g._comment_pattern(depth))
+    )
+
+    cases = ["x@y.com", "(unterminated x@y.com", "(()x@y.com"]
+    for d in (1, 2, 3, 5, 6):
+        cases += [
+            "(" * d + "c" + ")" * d + "x@y.com",
+            "(" * d + " \r\n c" + ")" * d + "x@y.com",
+        ]
+    cases += [
+        "( \r\n (fold \r\n ed))t@i.org",
+        "( \r\n\r\n )t@i.org",
+        "(a\\)b)x@y.com",
+        "((a) b(c) )x@y.com",
+        "(a(b(c)d)e)x@y.com",
+        '((a(b)))"q"@y.z',
+    ]
+    rng = random.Random(7)
+    alphabet = list(" \t()\\abc.@") + ["\r\n "]
+    for _ in range(4000):
+        cases.append(
+            "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 20)))
+            + "x@y.com"
+        )
+    for c in cases:
+        assert (spec_strict.fullmatch(c) is None) == (
+            tok_strict.fullmatch(c) is None
+        ), repr(c)
+        assert (spec_lax.fullmatch(c) is None) == (
+            tok_lax.fullmatch(c) is None
+        ), repr(c)
+
+
+def test_deep_pair_compiles_lazily_per_kind():
+    """Strict-only callers never pay the lax deep compile (~4x the strict
+    one: COMMENT is embedded at 15 lax grammar sites vs 4 strict)."""
+    from email_address_parser_spark.kernel.grammar import DeepPair, _comment_pattern
+
+    pair = DeepPair(_comment_pattern(4))
+    assert pair._strict is None and pair._lax is None
+    assert pair[0].fullmatch("(c)x@y.com") is None or True  # force strict
+    assert pair._strict is not None
+    assert pair._lax is None, "indexing [0] must not compile the lax pattern"
+    assert pair[1] is pair.lax
+    assert pair._lax is not None
