@@ -67,8 +67,53 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return relink.union(self_edge).where(F.col("u") != F.col("v")).distinct()
 
 
+# Below this many (distinct, checkpointed) edges the component structure is
+# solved on the driver instead of with the iterative loop. Rationale: one
+# star round is 2 shuffles + a barrier (~0.5-2 s of pure orchestration at any
+# size), and convergence needs several rounds — while a sub-million-edge set
+# is < ~50 MB collected and union-find solves it in well under a second. This
+# is the same adaptive-threshold thinking as Spark's broadcast joins: the
+# graphs that reach CC after collapse/quotient contraction are proportional
+# to rep-level fuzzy matches (batch-sized on the incremental path), not to
+# the corpus, so at 10^12 turns most invocations stay under the bound; a
+# genuinely huge edge set takes the distributed loop unchanged. Both paths
+# produce byte-identical labels (component min email).
+LOCAL_EDGE_THRESHOLD = 1 << 20
+
+
+def _local_components(edges: DataFrame) -> DataFrame:
+    """Exact union-find on the collected edge set; root = component min,
+    maintained by always attaching the larger root under the smaller (so the
+    tree root is the minimum member by induction, and path compression keeps
+    lookups near-O(1))."""
+    pdf = edges.toPandas()
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for u, v in zip(pdf["u"], pdf["v"]):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            if rv < ru:
+                ru, rv = rv, ru
+            parent[rv] = ru
+    nodes = set(pdf["u"]).union(pdf["v"])
+    rows = [(n, find(n)) for n in nodes]
+    return edges.sparkSession.createDataFrame(
+        rows, "email string, cluster_id string"
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iterations: int = 25
+    edges: DataFrame,
+    max_iterations: int = 25,
+    local_threshold: int = LOCAL_EDGE_THRESHOLD,
 ) -> DataFrame:
     """edges(src, dst) → assignments(email, cluster_id = min node of component).
 
@@ -98,6 +143,11 @@ def connected_components(
         # variants become star edges and rep↔rep fuzzy matches are rare):
         # skip the iteration barriers entirely
         return cur.select(F.col("u").alias("email"), F.col("v").alias("cluster_id"))
+    if prev_sig[0] <= local_threshold:
+        # the signature already paid for the exact edge count — below the
+        # bound, solving on the driver replaces ~4-12 shuffle barriers with
+        # one collect (see LOCAL_EDGE_THRESHOLD for the scale rationale)
+        return _local_components(cur)
 
     nodes = cur.select(
         F.explode(F.array(F.col("u"), F.col("v"))).alias("email")
