@@ -335,3 +335,30 @@ def test_fold_batch_chained_salted(spark, corpus_df):
         with_canonical(extract_mentions(corpus_df)), 25, target_block_size=16
     )
     assert _as_set(out["clusters"]) == _as_set(full)
+
+
+def test_fold_batch_refold_is_noop(spark, corpus_df):
+    """Resume safety: re-applying an already-folded batch (the crash-between-
+    fold-and-checkpoint-ack restart case) must leave the clustering unchanged
+    and produce an empty new-assignment surface — every batch email is
+    already in state.uniq, so the anti-join drains the batch."""
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+        fold_batch,
+    )
+
+    prev_t, new_t = _split(corpus_df)
+    state = build_incremental_state(spark, prev_t, hot_threshold=1 << 40)
+    first = fold_batch(spark, new_t, state, hot_threshold=1 << 40)
+    folded_state = {
+        k: (v.localCheckpoint() if v is not None else None)
+        for k, v in first["state"].items()
+    }
+    again = fold_batch(spark, new_t, folded_state, hot_threshold=1 << 40)
+    first_clusters = _as_set(first["clusters"])
+    assert _as_set(again["clusters"]) == first_clusters
+    # no genuinely-new emails -> the re-fold's delta introduces no assignment
+    # outside the already-folded view (set compare, not a join: an anti-join
+    # between these two lineage-sharing plans trips Spark 4.1's
+    # PushDownLeftSemiAntiJoin optimizer validation bug)
+    assert _as_set(again["delta"]) <= first_clusters
