@@ -166,6 +166,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_decontam": _doc_decontam,
         "dedup_keep_best": _dedup_keep_best,
         "dedup_keep_best_lsh": _dedup_keep_best_lsh,  # LSH buckets as block key
+        # G26: fold a document batch into persisted dedup state (bands,
+        # grams, quality, clusters); oracle = the SAME full-corpus
+        # recursive-CTE SQL as dedup_keep_best_lsh, so the triple-match
+        # certifies fold == full re-dedup
+        "dedup_keep_best_incr": _dedup_keep_best_incr,
         "er_blocking_metrics": _er_blocking_metrics,
         "domain_kmv": _domain_kmv,
     }
@@ -552,6 +557,25 @@ def _dedup_keep_best_lsh(spark: SparkSession, sf: str) -> DataFrame:
     # 100 TB-shape of keep-best dedup; threshold matches dedup_minhash so
     # the edge set is the oracle-replayed verified pair set
     return dedup_keep_best(_docs(spark, sf), threshold=0.2, use_lsh=True)
+
+
+def _dedup_keep_best_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """G26 (operators/incremental_dedup.py): bootstrap keep-best dedup state
+    from the ~80% of documents whose doc_id hashes low, fold the remaining
+    ~20% batch in, and return the full updated view — certified against the
+    full-corpus LSH keep-best SQL (same oracle as dedup_keep_best_lsh)."""
+    from email_address_parser_spark.operators.incremental_dedup import (
+        build_dedup_state,
+        fold_docs,
+    )
+
+    d = _docs(spark, sf)
+    is_prev = F.pmod(F.xxhash64("doc_id"), F.lit(5)) < 4
+    state = build_dedup_state(spark, d.where(is_prev), threshold=0.2, max_bucket=64)
+    out = fold_docs(spark, d.where(~is_prev), state, threshold=0.2, max_bucket=64)
+    return out["clusters"].select(
+        F.col("id").alias("doc_id"), "cluster_id", "quality_score", "is_kept"
+    )
 
 
 def _domain_kmv(spark: SparkSession, sf: str) -> DataFrame:
@@ -1027,6 +1051,10 @@ def oracle_sql() -> dict[str, str]:
         "doc_decontam": _oracles.doc_decontam_oracle(),
         "dedup_keep_best": _oracles.dedup_keep_best_oracle(threshold=0.6),
         "dedup_keep_best_lsh": _oracles.dedup_keep_best_lsh_oracle(
+            threshold=0.2, max_bucket=64
+        ),
+        # incremental fold == full re-dedup: same full-corpus SQL
+        "dedup_keep_best_incr": _oracles.dedup_keep_best_lsh_oracle(
             threshold=0.2, max_bucket=64
         ),
         "domain_kmv": _oracles.domain_kmv_oracle(MENTIONS_EXPECTED_CTE, k=64),
