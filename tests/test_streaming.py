@@ -151,3 +151,82 @@ def test_streaming_exact_dedup(spark, tmp_path):
     batch = exact_dedup(spark.createDataFrame(rows))
     batch_fps = {r.fp_md5 for r in batch.collect()}
     assert set(fps) == batch_fps  # same fingerprint universe as batch dedup
+
+
+def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
+    """The G24 fold as a foreachBatch consumer: stream a synthesized corpus
+    in 3 single-file micro-batches into an EMPTY bootstrap state; the final
+    persisted clustering equals the batch collapsed chain over the whole
+    corpus (salting active), and a second drain of the same stream from a
+    fresh checkpoint is a no-op (replay idempotency)."""
+    from email_address_parser_spark.operators.blocking import (
+        candidate_pairs,
+        exact_match_edges,
+        uniq_valid_mentions,
+    )
+    from email_address_parser_spark.operators.extract import (
+        extract_mentions,
+        with_canonical,
+    )
+    from email_address_parser_spark.operators.scoring import match_edges, score_pairs
+    from email_address_parser_spark.pipeline import cluster_mentions_collapsed
+    from email_address_parser_spark.streaming.extract_stream import (
+        read_transcript_stream,
+    )
+    from email_address_parser_spark.streaming.incremental_stream import (
+        bootstrap_state,
+        read_state,
+        streaming_cluster_maintenance,
+    )
+    from email_address_parser_spark.synth import synthesize
+
+    corpus = synthesize(n_convs=90, turns_per_conv=6, n_entities=25, seed=13)
+    df = spark.createDataFrame(corpus.transcripts)
+    land = f"{tmp_path}/landing"
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    for k in range(3):
+        df.where(h == k).coalesce(1).write.mode("append").parquet(land)
+
+    fold_kwargs = dict(hot_threshold=25, target_block_size=16)
+    state_dir = f"{tmp_path}/state"
+    bootstrap_state(spark, df.limit(0), state_dir, **fold_kwargs)
+    q = streaming_cluster_maintenance(
+        read_transcript_stream(spark, land, max_files_per_trigger=1),
+        state_dir,
+        f"{tmp_path}/ckpt",
+        **fold_kwargs,
+    )
+    q.awaitTermination()
+
+    m = with_canonical(extract_mentions(df))
+    uniq = uniq_valid_mentions(m)
+    full = cluster_mentions_collapsed(
+        m,
+        match_edges(score_pairs(candidate_pairs(
+            m, collapse_exact=True, dedupe=False,
+            uniq=uniq.select("email", "local_canon", "domain_canon", "match_key"),
+            **fold_kwargs,
+        ))),
+        exact_match_edges(m, uniq=uniq.select("email", "match_key")),
+        nodes=uniq,
+    )
+    got = {
+        (r["email"], r["cluster_id"])
+        for r in read_state(spark, state_dir)["clusters"].collect()
+    }
+    want = {(r["email"], r["cluster_id"]) for r in full.collect()}
+    assert got == want
+
+    # replay idempotency: drain the same landing zone from a NEW checkpoint
+    q2 = streaming_cluster_maintenance(
+        read_transcript_stream(spark, land, max_files_per_trigger=8),
+        state_dir,
+        f"{tmp_path}/ckpt2",
+        **fold_kwargs,
+    )
+    q2.awaitTermination()
+    again = {
+        (r["email"], r["cluster_id"])
+        for r in read_state(spark, state_dir)["clusters"].collect()
+    }
+    assert again == want
