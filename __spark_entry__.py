@@ -152,6 +152,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _ann_topk,
         "ann_topk_lsh": _ann_topk_lsh,  # oracle: hyperplane-sig SQL replay
         "ann_topk_ivf": _ann_topk_ivf,  # oracle: quantizer SQL replay
+        # G27: fold an embedding batch into a persisted IVF index (frozen
+        # quantizer, append-only cell assignments); same full-corpus oracle
+        # as ann_topk_ivf certifies queries-on-folded-state == full re-index
+        "ann_topk_ivf_incr": _ann_topk_ivf_incr,
         "emb_near_dup": _emb_near_dup,
         # --- training-data pipeline: multimodal plumbing -------------------
         "mm_features": _mm_features,
@@ -475,6 +479,27 @@ def _ann_topk_ivf(spark: SparkSession, sf: str) -> DataFrame:
         load_table(spark, sf, "embeddings"), ANN_QUERY_IDS, k=10,
         n_centroids=16, n_probe=4,
     )
+
+
+def _ann_topk_ivf_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """G27 (operators/incremental_ann.py): bootstrap the IVF index from the
+    id-ordered first ~80% of embeddings (the quantizer model predates the
+    batch, as in any deployed index), fold the rest in, and query the folded
+    state — certified by the SAME full-corpus quantizer-replay SQL as
+    ann_topk_ivf."""
+    from email_address_parser_spark.operators.incremental_ann import (
+        build_ivf_state,
+        fold_embeddings,
+        ivf_topk_from_state,
+    )
+
+    emb = load_table(spark, sf, "embeddings")
+    cut = float(emb.agg(F.expr("percentile(vec_id, 0.8)")).collect()[0][0])
+    state = build_ivf_state(
+        spark, emb.where(F.col("vec_id") <= cut), n_centroids=16
+    )
+    out = fold_embeddings(spark, emb.where(F.col("vec_id") > cut), state)
+    return ivf_topk_from_state(out["state"], ANN_QUERY_IDS, k=10, n_probe=4)
 
 
 def _emb_near_dup(spark: SparkSession, sf: str) -> DataFrame:
@@ -990,6 +1015,10 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _oracles.dedup_simhash_oracle(max_hamming=3),
         "ann_topk_lsh": _oracles.ann_topk_lsh_oracle(ANN_QUERY_IDS, k=10),
         "ann_topk_ivf": _oracles.ann_topk_ivf_oracle(
+            ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4
+        ),
+        # incremental fold == full re-index: same full-corpus SQL
+        "ann_topk_ivf_incr": _oracles.ann_topk_ivf_oracle(
             ANN_QUERY_IDS, k=10, n_centroids=16, n_probe=4
         ),
         "ann_topk": r"""

@@ -82,3 +82,44 @@ def test_run_pipeline_job_cli(spark, tmp_path):
     manifest = json.loads((tmp_path / "clusters_RUN_MANIFEST.json").read_text())
     assert manifest["n_emails"] > 0
     assert manifest["n_clusters"] < manifest["n_emails"]
+
+
+def test_ivf_fold_equals_full_index(spark):
+    """G27: queries over folded IVF state equal ivf_topk over the union
+    corpus (same frozen quantizer — the bootstrap holds the lowest ids),
+    and re-applying a folded batch is a no-op."""
+    from pyspark.sql import functions as F
+
+    from email_address_parser_spark.operators.incremental_ann import (
+        build_ivf_state,
+        fold_embeddings,
+        ivf_topk_from_state,
+    )
+    from email_address_parser_spark.operators.similarity import ivf_topk
+
+    docs = _vec_corpus(spark, n=60)
+    prev = docs.where(F.col("vec_id") < 45)
+    batch = docs.where(F.col("vec_id") >= 45)
+    state = build_ivf_state(spark, prev, n_centroids=8)
+    out = fold_embeddings(spark, batch, state)
+    got = {
+        tuple(r)
+        for r in ivf_topk_from_state(
+            out["state"], list(range(5)), k=5, n_probe=3
+        ).collect()
+    }
+    want = {
+        tuple(r)
+        for r in ivf_topk(docs, list(range(5)), k=5, n_centroids=8, n_probe=3).collect()
+    }
+    assert got == want
+    # restart safety: the same batch folds to an empty delta
+    folded = {k: v.localCheckpoint() for k, v in out["state"].items()}
+    again = fold_embeddings(spark, batch, folded)
+    assert again["delta"].count() == 0
+    assert {
+        tuple(r)
+        for r in ivf_topk_from_state(
+            again["state"], list(range(5)), k=5, n_probe=3
+        ).collect()
+    } == want
