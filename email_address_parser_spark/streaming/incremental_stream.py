@@ -28,9 +28,16 @@ from typing import Dict
 from pyspark.sql import DataFrame, SparkSession
 
 from ..operators.incremental import STATE_TABLES, build_incremental_state, fold_batch
+from ..operators.incremental_dedup import (
+    DEDUP_STATE_TABLES,
+    build_dedup_state,
+    fold_docs,
+)
 
 
-def write_state(state: Dict[str, DataFrame], state_dir: str) -> None:
+def write_state(
+    state: Dict[str, DataFrame], state_dir: str, tables=STATE_TABLES
+) -> None:
     """Materialize EVERY state table, then persist (prod: Iceberg MERGE).
 
     The two phases must not interleave: the tables share lazy subtrees that
@@ -42,17 +49,17 @@ def write_state(state: Dict[str, DataFrame], state_dir: str) -> None:
     is eager, so phase one pins all values first."""
     materialized = {
         name: state[name].localCheckpoint()
-        for name in STATE_TABLES
+        for name in tables
         if state.get(name) is not None
     }
     for name, df in materialized.items():
         df.write.mode("overwrite").parquet(f"{state_dir}/{name}")
 
 
-def read_state(spark: SparkSession, state_dir: str) -> Dict[str, DataFrame]:
-    return {
-        name: spark.read.parquet(f"{state_dir}/{name}") for name in STATE_TABLES
-    }
+def read_state(
+    spark: SparkSession, state_dir: str, tables=STATE_TABLES
+) -> Dict[str, DataFrame]:
+    return {name: spark.read.parquet(f"{state_dir}/{name}") for name in tables}
 
 
 def bootstrap_state(
@@ -87,6 +94,48 @@ def streaming_cluster_maintenance(
 
     return (
         transcript_stream.writeStream.foreachBatch(_fold)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def bootstrap_dedup_state(
+    spark: SparkSession,
+    docs: DataFrame,
+    state_dir: str,
+    **fold_kwargs,
+) -> None:
+    write_state(
+        build_dedup_state(spark, docs, **fold_kwargs),
+        state_dir,
+        tables=DEDUP_STATE_TABLES,
+    )
+
+
+def streaming_dedup_maintenance(
+    doc_stream: DataFrame,
+    state_dir: str,
+    checkpoint_dir: str,
+    **fold_kwargs,
+):
+    """G26's fold as a foreachBatch consumer: each document micro-batch is
+    deduplicated against the persisted keep-best state and folded in — same
+    exactly-once composition (checkpoint replay × re-fold idempotency) as
+    `streaming_cluster_maintenance`."""
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        out = fold_docs(
+            spark,
+            batch_df,
+            read_state(spark, state_dir, tables=DEDUP_STATE_TABLES),
+            **fold_kwargs,
+        )
+        write_state(out["state"], state_dir, tables=DEDUP_STATE_TABLES)
+
+    return (
+        doc_stream.writeStream.foreachBatch(_fold)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

@@ -230,3 +230,48 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
         for r in read_state(spark, state_dir)["clusters"].collect()
     }
     assert again == want
+
+
+def test_streaming_dedup_maintenance_matches_batch(spark, tmp_path):
+    """G26's fold as a foreachBatch consumer: stream documents in 2
+    single-file micro-batches into an empty bootstrap; the persisted
+    keep-best clustering equals the batch path over the whole corpus."""
+    from email_address_parser_spark.operators.dedup import dedup_keep_best
+    from email_address_parser_spark.operators.incremental_dedup import (
+        DEDUP_STATE_TABLES,
+    )
+    from email_address_parser_spark.streaming.incremental_stream import (
+        bootstrap_dedup_state,
+        read_state,
+        streaming_dedup_maintenance,
+    )
+    from tests.test_incremental_dedup import _corpus
+
+    docs = _corpus(spark, n_groups=14, seed=21)
+    land = f"{tmp_path}/docs_landing"
+    h = F.pmod(F.xxhash64("doc_id"), F.lit(2))
+    for k in range(2):
+        docs.where(h == k).coalesce(1).write.mode("append").parquet(land)
+
+    kw = dict(threshold=0.2, max_bucket=64)
+    state_dir = f"{tmp_path}/dedup_state"
+    bootstrap_dedup_state(spark, docs.limit(0), state_dir, **kw)
+    stream = (
+        spark.readStream.schema("doc_id string, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = streaming_dedup_maintenance(stream, state_dir, f"{tmp_path}/dckpt", **kw)
+    q.awaitTermination()
+
+    got = {
+        (r["id"], r["cluster_id"], r["is_kept"])
+        for r in read_state(spark, state_dir, tables=DEDUP_STATE_TABLES)[
+            "clusters"
+        ].collect()
+    }
+    want = {
+        (r["doc_id"], r["cluster_id"], r["is_kept"])
+        for r in dedup_keep_best(docs, use_lsh=True, **kw).collect()
+    }
+    assert got == want
