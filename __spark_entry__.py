@@ -187,16 +187,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _er_match_f1(spark: SparkSession, sf: str) -> DataFrame:
     """One row: (tp, fp, fn, precision, recall, f1) of `score >= 0.90` as a
-    predictor of match_key equality over the candidate pairs. All float
-    expressions are single divisions/products (no sum-order sensitivity), so
-    the DuckDB twin reproduces them bit-for-bit."""
+    predictor of TRUE identity equality over the candidate pairs. Truth comes
+    from the labeled table (testdata.truth_labels) — NOT from the engine's
+    canonical columns, since the domain-typo variant's identity is not a
+    function of its mention string. All float expressions are single
+    divisions/products (no sum-order sensitivity), so the DuckDB twin
+    reproduces them bit-for-bit."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+
     m = _mentions(spark, sf)
     scored = score_pairs(candidate_pairs(m, hot_threshold=1 << 40))
-    uniq = (
-        m.where(F.col("valid_lax"))
-        .select("email", "match_key")
-        .dropDuplicates(["email"])
-    )
+    uniq = truth_labels(spark, sf)
     j = (
         scored.join(
             uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
@@ -297,13 +298,12 @@ def _er_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     literature pair: reduction_ratio (how much of the quadratic pair space
     blocking prunes) and pair_completeness (what fraction of TRUE match
     pairs survive into the candidate set; the recall ceiling of the whole
-    pipeline). Integer arithmetic uses DIV so DuckDB replays exactly."""
-    m = _mentions(spark, sf)
-    uniq = (
-        m.where(F.col("valid_lax"))
-        .select("email", "domain_canon", "match_key")
-        .dropDuplicates(["email"])
-    )
+    pipeline). Truth = the labeled table (see _er_match_f1 — with the
+    domain-typo variant, identity is not derivable from the mention string).
+    Integer arithmetic uses DIV so DuckDB replays exactly."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    uniq = truth_labels(spark, sf)
     n = uniq.agg(F.count(F.lit(1)).alias("n_emails"))
     cand = (
         _pairs(spark, sf)
@@ -364,11 +364,9 @@ def _er_clusters_diff_golden(spark: SparkSession, sf: str) -> DataFrame:
     engine = cluster_mentions(
         m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
     )
-    uniq = (
-        m.where(F.col("valid_lax"))
-        .select("email", "match_key")
-        .dropDuplicates(["email"])
-    )
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    uniq = truth_labels(spark, sf)
     golden = uniq.join(
         uniq.groupBy("match_key").agg(F.min("email").alias("cluster_id")),
         "match_key",
@@ -494,11 +492,18 @@ def _ann_topk_ivf_incr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
     emb = load_table(spark, sf, "embeddings")
-    cut = float(emb.agg(F.expr("percentile(vec_id, 0.8)")).collect()[0][0])
-    state = build_ivf_state(
-        spark, emb.where(F.col("vec_id") <= cut), n_centroids=16
+    # collect-free 80/20 split: the cut rides a broadcast 1-row aggregate
+    # instead of a driver collect (vec_ids are dense, so floor(0.8 * max) is
+    # the 80th percentile; the id-ORDERED split matters — the frozen
+    # quantizer sample, the n lowest ids, must predate the batch AND equal
+    # the full-corpus quantizer the oracle replays)
+    bound = F.broadcast(
+        emb.agg(F.floor(F.max("vec_id") * 0.8).cast("long").alias("_cut"))
     )
-    out = fold_embeddings(spark, emb.where(F.col("vec_id") > cut), state)
+    prev = emb.crossJoin(bound).where(F.col("vec_id") <= F.col("_cut")).drop("_cut")
+    batch = emb.crossJoin(bound).where(F.col("vec_id") > F.col("_cut")).drop("_cut")
+    state = build_ivf_state(spark, prev, n_centroids=16)
+    out = fold_embeddings(spark, batch, state)
     return ivf_topk_from_state(out["state"], ANN_QUERY_IDS, k=10, n_probe=4)
 
 
@@ -718,11 +723,22 @@ def _events_daily(spark: SparkSession, sf: str) -> DataFrame:
 # oracles (DuckDB SQL over the same parquet views)
 # ---------------------------------------------------------------------------
 
+# Candidate replay: channel 1 (unsalted exact-domain — channel 2 is empty by
+# construction when nothing is salted, pinned by test_unsalted_lsh_adds_nothing)
+# UNION ALL channel 3 (cross-domain exact dotless local, block-capped)
+# UNION ALL channel 4 (cross-domain cross-local full-email minhash LSH replay,
+# bucket-capped; oracles.email_lsh_pairs_cte re-computes the fixed-seed
+# signatures in pure SQL). Channels are disjoint (blocking.py docstring), so
+# UNION ALL introduces no duplicates.
 _ORACLE_PAIRS = MENTIONS_EXPECTED_CTE + """,
 uniq AS (
-    SELECT DISTINCT email, local_canon, domain_canon, match_key
+    SELECT DISTINCT email, local_canon, domain_canon, match_key,
+           replace(local_canon, '.', '') AS dotless,
+           concat(local_canon, '@', domain_canon) AS canon_email
     FROM mentions_expected WHERE valid_lax
 ),
+local_sizes AS (SELECT dotless, count(*) AS ln FROM uniq GROUP BY dotless),
+""" + _oracles.email_lsh_pairs_cte(max_bucket=50) + """,
 pairs AS (
     SELECT a.email AS email_a, b.email AS email_b,
            a.local_canon AS local_canon_a, b.local_canon AS local_canon_b,
@@ -730,15 +746,34 @@ pairs AS (
            a.match_key AS mk_a, b.match_key AS mk_b
     FROM uniq a JOIN uniq b
       ON a.domain_canon = b.domain_canon AND a.email < b.email
+    UNION ALL
+    SELECT a.email, b.email, a.local_canon, b.local_canon,
+           a.domain_canon, b.domain_canon, a.match_key, b.match_key
+    FROM uniq a
+    JOIN uniq b ON a.dotless = b.dotless
+       AND a.domain_canon <> b.domain_canon AND a.email < b.email
+    JOIN local_sizes ls ON ls.dotless = a.dotless
+    WHERE ls.ln <= 50
+    UNION ALL
+    SELECT x.email_a, x.email_b, a.local_canon, b.local_canon,
+           a.domain_canon, b.domain_canon, a.match_key, b.match_key
+    FROM xd_lsh x
+    JOIN uniq a ON a.email = x.email_a
+    JOIN uniq b ON b.email = x.email_b
 ),
 features AS (
     SELECT email_a, email_b, mk_a, mk_b,
-        jaro_winkler_similarity(local_canon_a, local_canon_b) AS jw_local,
-        CAST(levenshtein(local_canon_a, local_canon_b) AS INT) AS lev_local,
+        -- jw/lev over the DOTLESS locals (scoring.score_pairs: dot placement
+        -- is canonically insignificant, so it never spends edit budget)
+        jaro_winkler_similarity(replace(local_canon_a, '.', ''),
+                                replace(local_canon_b, '.', '')) AS jw_local,
+        CAST(levenshtein(replace(local_canon_a, '.', ''),
+                         replace(local_canon_b, '.', '')) AS INT) AS lev_local,
         CAST(levenshtein(domain_canon_a, domain_canon_b) AS INT) AS dom_edit,
         CASE WHEN replace(local_canon_a, '.', '') = replace(local_canon_b, '.', '')
              THEN 1.0 ELSE 0.0 END AS dotless_eq,
-        greatest(length(local_canon_a), length(local_canon_b), 1) AS _mll,
+        greatest(length(replace(local_canon_a, '.', '')),
+                 length(replace(local_canon_b, '.', '')), 1) AS _mll,
         greatest(length(domain_canon_a), length(domain_canon_b), 1) AS _mdl
     FROM pairs
 ),
@@ -799,20 +834,15 @@ def oracle_sql() -> dict[str, str]:
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",
-        "er_blocking_metrics": MENTIONS_EXPECTED_CTE
+        "er_blocking_metrics": _ORACLE_PAIRS
         + """,
-        uniq AS (
-            SELECT DISTINCT email, domain_canon, match_key
-            FROM mentions_expected WHERE valid_lax
-        ),
         n AS (SELECT CAST(count(*) AS BIGINT) AS n_emails FROM uniq),
         cand AS (
             SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
-                CAST(coalesce(sum(CASE WHEN a.match_key = b.match_key
+                CAST(coalesce(sum(CASE WHEN mk_a = mk_b
                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
                     AS covered_true_pairs
-            FROM uniq a JOIN uniq b
-              ON a.domain_canon = b.domain_canon AND a.email < b.email
+            FROM pairs
         ),
         t AS (
             SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)

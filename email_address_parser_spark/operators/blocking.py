@@ -1,6 +1,8 @@
 """F6/F7/F8 — blocking and candidate-pair generation.
 
-Two candidate channels, unioned and de-duplicated:
+FOUR candidate channels, pairwise DISJOINT by construction (they stratify the
+pair space on two axes — same/different canonical domain × same/different
+dotless local or block — so their union needs no full-pair dedup shuffle):
 
   1. exact-domain blocking, salted for hot-domain skew (F6). The salt hashes
      the DOTLESS canonical local part, so every variant of one identity lands
@@ -9,10 +11,26 @@ Two candidate channels, unioned and de-duplicated:
      a gmail.com-sized block into bounded pieces. Hot domains are detected
      from data (block size > threshold) and broadcast back (small dim).
   2. MinHash-LSH over character 3-gram shingles of the canonical local part
-     (F7): banded signatures, bucket-join. Catches near-duplicate locals
-     (typos) so the pairwise scorer sees genuinely hard negatives/positives
-     rather than only exact-key collisions. Hand-rolled (deterministic seeds)
-     instead of pyspark.ml's MinHashLSH to stay Arrow/DataFrame-native.
+     (F7): banded signatures, bucket-join, SAME domain, cross-block only.
+     Catches near-duplicate locals (typos) the salt split separated.
+     Hand-rolled (deterministic seeds) instead of pyspark.ml's MinHashLSH to
+     stay Arrow/DataFrame-native.
+  3. cross-domain exact-local blocking: pairs sharing the DOTLESS canonical
+     local across DIFFERENT canonical domains — the domain-typo channel
+     (jo.hn@gmial.com ↔ john@gmail.com). Deterministic recall for every
+     same-local domain edit; blocks keyed by the (highly selective) local,
+     capped at `local_max_block` because globally common locals (info@,
+     admin@) are non-discriminative across millions of domains and would
+     regenerate a quadratic pair set for entities that are not the same.
+  4. cross-domain full-email MinHash-LSH: banded signatures of
+     local_canon || '@' || domain_canon, restricted to pairs where BOTH the
+     domain and the dotless local differ — the residual channel for
+     simultaneous local + domain typos that neither 2 nor 3 can reach.
+     Bucket-capped like channel 2.
+
+Channels 1/2 require equal domain_canon; 3/4 require different domain_canon;
+3 requires equal dotless local, 4 requires different — a partition, proven by
+tests/test_blocking_channels.py + test_cross_domain_channels.py.
 
 Pair generation (F8) is a self-join on the block key with an ordered-pair
 predicate (a < b) so each unordered pair appears exactly once.
@@ -284,9 +302,15 @@ def candidate_pairs(
     dedupe: bool = True,
     uniq: DataFrame = None,
     materialize: bool = True,
+    use_cross_domain: bool = True,
+    local_max_block: int = 50,
+    use_email_lsh: bool = True,
 ) -> DataFrame:
     """→ (email_a, email_b, local_canon_a/b, domain_canon_a/b), each unordered
-    pair once. Union of the exact-domain-salted channel and the LSH channel.
+    pair once. Union of the four disjoint channels (module docstring): salted
+    exact-domain, same-domain cross-block local-LSH, cross-domain exact-local
+    (use_cross_domain, capped at local_max_block), and cross-domain
+    full-email LSH (use_email_lsh, capped at lsh_max_bucket).
 
     Scale switches (both used by the headline pipeline/bench; the oracle
     paths keep the defaults so the full pair set stays SQL-replayable):
@@ -298,21 +322,25 @@ def candidate_pairs(
         identically, and match_edges de-duplicates the far smaller edge
         set instead.
 
-    The two channels are DISJOINT by construction, so no full-pair-set
+    The channels are pairwise DISJOINT by construction, so no full-pair-set
     dedup shuffle ever runs (round-3: this removed the single biggest
     exchange in er_pairs_scored — the wide 2M-row dropDuplicates):
-      * every LSH pair shares domain_canon (join key), so in a non-hot
+      * every local-LSH pair shares domain_canon (join key), so in a non-hot
         domain both sides carry block_key == domain_canon and the pair is
         already generated by the exact channel;
       * in a hot domain, a same-salt-bucket pair shares block_key and is
         likewise an exact-channel pair;
-      * therefore the LSH channel keeps ONLY cross-block pairs
+      * therefore the local-LSH channel keeps ONLY cross-block pairs
         (block_key_a != block_key_b — the typo'd locals whose dotless
         hashes landed in different salt buckets), which the exact channel
         can never produce. Exact-channel pairs are unique outright (one
-        block_key per email ⇒ one join hit per pair); LSH multi-band
-        duplicates are removed within the (far smaller) channel when
-        dedupe=True.
+        block_key per email ⇒ one join hit per pair);
+      * the two cross-domain channels require domain_canon_a !=
+        domain_canon_b (channels 1/2 require equality); the email-LSH
+        channel additionally requires the dotless locals to DIFFER, making
+        it disjoint from the exact-local channel. LSH multi-band duplicates
+        are removed within each (far smaller) channel when dedupe=True; the
+        exact-local channel is duplicate-free outright (single join key).
 
     materialize (default True) persists the blocked distinct-email dim:
     the plan references it five times (two exact-join sides, two LSH-join
@@ -332,6 +360,24 @@ def candidate_pairs(
     else:
         uniq = _unique_mentions(mentions)
     blocked = with_salted_domain_block(uniq, hot_threshold, target_block_size)
+    if use_cross_domain:
+        # dotless local: the cross-domain block key (cheap Catalyst regexp,
+        # computed once on the persisted dim)
+        blocked = blocked.withColumn(
+            "_dotless", F.regexp_replace(F.col("local_canon"), r"\.", "")
+        )
+        if use_email_lsh and "email_bands" not in blocked.columns:
+            # full-email signatures ride the persisted dim: channel 4
+            # references them three times (bucket sizes + both join sides),
+            # and unlike the short-local banding of channel 2 the assembled
+            # address is ~2× the bytes — re-evaluating the UDF per reference
+            # measurably dominated the channel (sf0.01 A/B)
+            blocked = blocked.withColumn(
+                "email_bands",
+                minhash_bands_udf(
+                    F.concat(F.col("local_canon"), F.lit("@"), F.col("domain_canon"))
+                ),
+            )
     if materialize:
         blocked = blocked.persist()
 
@@ -342,12 +388,22 @@ def candidate_pairs(
     # attach joins are full sort-merge shuffles of the pair set, costing
     # more than the wider payload ever did. Exchange COUNT beats exchange
     # bytes.
-    def self_join(df: DataFrame, key: list, cross_block: bool = False) -> DataFrame:
+    def self_join(
+        df: DataFrame,
+        key: list,
+        cross_block: bool = False,
+        cross_domain: bool = False,
+        diff_local: bool = False,
+    ) -> DataFrame:
         a = df.alias("a")
         b = df.alias("b")
         cond = F.col("a.email") < F.col("b.email")
         if cross_block:
             cond = cond & (F.col("a.block_key") != F.col("b.block_key"))
+        if cross_domain:
+            cond = cond & (F.col("a.domain_canon") != F.col("b.domain_canon"))
+        if diff_local:
+            cond = cond & (F.col("a._dotless") != F.col("b._dotless"))
         return (
             a.join(b, on=key)
             .where(cond)
@@ -408,5 +464,55 @@ def candidate_pairs(
             # only multi-band duplicates remain, and only within this channel
             lsh_pairs = lsh_pairs.dropDuplicates(["email_a", "email_b"])
         pairs = pairs.unionByName(lsh_pairs)
+
+    if use_cross_domain:
+        # channel 3 — cross-domain exact-local block. Block sizes are counted
+        # over the whole dim (not per domain): a local shared by >cap emails
+        # is non-discriminative wherever it appears.
+        local_sizes = blocked.groupBy("_dotless").agg(
+            F.count(F.lit(1)).alias("_ln")
+        )
+        bounded_local = blocked.join(
+            local_sizes.where(F.col("_ln") <= local_max_block), ["_dotless"]
+        )
+        xd_pairs = self_join(
+            bounded_local.select(
+                "_dotless", "email", "local_canon", "domain_canon"
+            ),
+            ["_dotless"],
+            cross_domain=True,
+        )
+        pairs = pairs.unionByName(xd_pairs)
+
+        if use_email_lsh:
+            # channel 4 — cross-domain full-email LSH (different dotless
+            # locals only). Signatures over the canonical assembled address
+            # (precomputed on the persisted dim above); bucket sizes counted
+            # over all emails in the bucket.
+            with_ebands = blocked.select(
+                "email",
+                "local_canon",
+                "domain_canon",
+                "_dotless",
+                F.posexplode(F.col("email_bands")).alias("band_idx", "band_sig"),
+            )
+            ebucket_sizes = with_ebands.groupBy("band_idx", "band_sig").agg(
+                F.count(F.lit(1)).alias("_bn")
+            )
+            ebounded = with_ebands.join(
+                ebucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
+                ["band_idx", "band_sig"],
+            )
+            email_lsh_pairs = self_join(
+                ebounded,
+                ["band_idx", "band_sig"],
+                cross_domain=True,
+                diff_local=True,
+            )
+            if dedupe:
+                email_lsh_pairs = email_lsh_pairs.dropDuplicates(
+                    ["email_a", "email_b"]
+                )
+            pairs = pairs.unionByName(email_lsh_pairs)
 
     return pairs

@@ -34,6 +34,14 @@ try:  # vectorized C implementation if present
     from rapidfuzz.distance.JaroWinkler import similarity as _jw_fast  # type: ignore
 except Exception:  # pragma: no cover - sandbox has no rapidfuzz
     _jw_fast = None
+# Shipping rapidfuzz to the executors (round-2 item 1a / round-4 item 4) is
+# CLOSED AS BLOCKED in-sandbox: the container has no rapidfuzz wheel and no
+# network to fetch one, so there is nothing to vendor under dist/. The seam
+# stays live for deployments that have it: install the wheel (or pass it via
+# jobs/package_pyfiles.py --py-files), and this import routes every JW call
+# through the C kernel via the same distinct-pair memo (no code change).
+# Measured fallback cost: the numpy-batch kernel below scores ~410k
+# pairs/s/core, within the envelope BENCH/BASELINE.md documents.
 
 
 def jaro_similarity(s1, s2) -> float:
@@ -264,21 +272,30 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 
 def score_pairs(pairs: DataFrame) -> DataFrame:
-    """Add feature + score columns to candidate pairs."""
+    """Add feature + score columns to candidate pairs.
+
+    jw_local / lev_local are computed over the DOTLESS locals: dot placement
+    is canonically insignificant (match_key strips it), so a dot difference
+    must not spend edit budget a real typo needs. Round-4 case in point:
+    jo.hn@gmial.com ↔ john@gmail.com is one identity (dot variant × domain
+    typo); scored on dotted forms the dot eats 0.06 of margin and the pair
+    misses the 0.90 threshold, scored dotless it clears at ≈0.944 while the
+    hard negative johnx@gmail.com stays at 0.746
+    (tests/test_cross_domain_channels.py)."""
     dotless_a = F.regexp_replace(F.col("local_canon_a"), r"\.", "")
     dotless_b = F.regexp_replace(F.col("local_canon_b"), r"\.", "")
     max_local_len = F.greatest(
-        F.length("local_canon_a"), F.length("local_canon_b"), F.lit(1)
+        F.length(dotless_a), F.length(dotless_b), F.lit(1)
     )
     max_dom_len = F.greatest(
         F.length("domain_canon_a"), F.length("domain_canon_b"), F.lit(1)
     )
     return (
         pairs.withColumn(
-            "jw_local", jaro_winkler_udf(F.col("local_canon_a"), F.col("local_canon_b"))
+            "jw_local", jaro_winkler_udf(dotless_a, dotless_b)
         )
         .withColumn(
-            "lev_local", F.levenshtein(F.col("local_canon_a"), F.col("local_canon_b"))
+            "lev_local", F.levenshtein(dotless_a, dotless_b)
         )
         .withColumn(
             "dom_edit", F.levenshtein(F.col("domain_canon_a"), F.col("domain_canon_b"))

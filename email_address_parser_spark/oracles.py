@@ -101,6 +101,57 @@ verified AS (
 )"""
 
 
+def email_lsh_pairs_cte(max_bucket: int = 50) -> str:
+    """CTE chain (no WITH keyword) replaying the cross-domain full-email LSH
+    channel (blocking.candidate_pairs use_email_lsh) over a preceding `uniq`
+    CTE with columns (email, domain_canon, dotless, canon_email): the same
+    fixed-seed 3-gram minhash → affine permutations → banded fold → bucket cap
+    → cross-domain cross-local self-join, ending in
+    xd_lsh(email_a, email_b). Exact int64 arithmetic on both engines."""
+    p = minhash_oracle_sql_parts()
+    ab_pairs = ", ".join(f"[{a}, {b}]" for a, b in zip(p["a"], p["b"]))
+    P, M, C = p["p_gram"], p["m31"], p["band_mult"]
+    rpb, nb = p["rows_per_band"], p["n_bands"]
+    return rf"""egh AS (
+    SELECT email,
+        list_transform(range(1, length(canon_email) - 1),
+            i -> ((CAST(ord(substr(canon_email, CAST(i AS INT), 1)) AS BIGINT) * {P}
+                   + ord(substr(canon_email, CAST(i AS INT) + 1, 1))) * {P}
+                  + ord(substr(canon_email, CAST(i AS INT) + 2, 1))) & {M}) AS gh
+    FROM uniq
+),
+esig AS (
+    SELECT email,
+        list_transform([{ab_pairs}],
+            ab -> list_min(list_transform(gh, h -> (ab[1] * h + ab[2]) & {M}))) AS s
+    FROM egh
+),
+ebands AS (
+    SELECT email, t.band_idx,
+        (((((((s[{rpb} * band_idx + 1] * {C} + s[{rpb} * band_idx + 2]) & {M})
+            * {C} + s[{rpb} * band_idx + 3]) & {M}) * {C})
+            + s[{rpb} * band_idx + 4]) & {M}) AS band_sig
+    FROM esig CROSS JOIN range(0, {nb}) AS t(band_idx)
+),
+esizes AS (
+    SELECT band_idx, band_sig, count(*) AS bn
+    FROM ebands GROUP BY band_idx, band_sig
+),
+ebounded AS (
+    SELECT eb.email, eb.band_idx, eb.band_sig, u.domain_canon, u.dotless
+    FROM ebands eb JOIN esizes USING (band_idx, band_sig)
+    JOIN uniq u ON u.email = eb.email
+    WHERE bn <= {max_bucket}
+),
+xd_lsh AS (
+    SELECT DISTINCT a.email AS email_a, b.email AS email_b
+    FROM ebounded a JOIN ebounded b USING (band_idx, band_sig)
+    WHERE a.email < b.email
+      AND a.domain_canon <> b.domain_canon
+      AND a.dotless <> b.dotless
+)"""
+
+
 def dedup_minhash_oracle(threshold: float = 0.2, max_bucket: int = 64) -> str:
     return (
         f"WITH {_minhash_verified_cte(max_bucket)}\n"

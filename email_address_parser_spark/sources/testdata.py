@@ -9,7 +9,11 @@ entity-resolution query oracle-checkable end to end.
 Derivation (variant v = o_orderkey % 10):
     local  = 'customer.' || lpad(c_custkey, 9, '0')
     domain = lower(c_mktsegment) || '.example.com'
-    v 0-4  plain       local@domain                 strict-valid
+    v 0-3  plain       local@domain                 strict-valid
+    v 4    domain-typo local@substr(domain,2)       strict-valid   (same identity,
+           first domain char dropped — the cross-domain true-match material:
+           its ground-truth match_key keeps the TRUE domain, so re-uniting it
+           is only reachable through a cross-domain candidate channel)
     v 5    dotless     replace(local,'.','')@domain strict-valid
     v 6    upper-dom   local@UPPER(domain)          strict-valid
     v 7    quoted      "local"@domain               strict-valid   (angle-delimited in text)
@@ -67,6 +71,7 @@ WITH _base AS (
 _men AS (
     SELECT *,
         CASE variant
+            WHEN 4 THEN concat(local, '@', substr(domain, 2))
             WHEN 5 THEN concat(replace(local, '.', ''), '@', domain)
             WHEN 6 THEN concat(local, '@', upper(domain))
             WHEN 7 THEN concat('"', local, '"@', domain)
@@ -107,16 +112,23 @@ mentions_expected AS (
              WHEN variant = 5 THEN replace(local, '.', '')
              ELSE local END AS local_part,
         CASE WHEN variant = 9 THEN NULL
+             WHEN variant = 4 THEN substr(domain, 2)
              WHEN variant = 6 THEN upper(domain)
              ELSE domain END AS domain,
         variant NOT IN (8, 9) AS valid_strict,
         variant <> 9 AS valid_lax,
         CASE WHEN variant = 9 THEN NULL ELSE mention END AS email,
-        -- canonical (matching-only) twins + ground-truth grouping key
+        -- canonical (matching-only) twins + ground-truth grouping key. The
+        -- match_key is computed from the GENERATION-side true domain, so the
+        -- domain-typo variant (v4) keys with its true identity even though
+        -- no string function of its mention could recover that — the label
+        -- the cross-domain candidate channels are graded against.
         CASE WHEN variant = 9 THEN NULL
              WHEN variant = 5 THEN replace(local, '.', '')
              ELSE local END AS local_canon,
-        CASE WHEN variant = 9 THEN NULL ELSE lower(domain) END AS domain_canon,
+        CASE WHEN variant = 9 THEN NULL
+             WHEN variant = 4 THEN substr(domain, 2)
+             ELSE lower(domain) END AS domain_canon,
         CASE WHEN variant = 9 THEN NULL
              ELSE concat(replace(local, '.', ''), '@', lower(domain)) END AS match_key
     FROM transcripts
@@ -129,6 +141,21 @@ def derive_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir, tables=["orders", "customer"])
     return spark.sql(
         TRANSCRIPTS_CTE + "SELECT " + ", ".join(TRANSCRIPT_COLUMNS) + " FROM transcripts"
+    )
+
+
+def truth_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(email, match_key) ground-truth labels for every distinct valid email —
+    the sandbox analog of the reference's labeled match pairs (BASELINE.json:
+    "pairwise F1 ... against the reference's labeled match pairs"). Since the
+    domain-typo variant's identity is NOT a function of its mention string,
+    metric queries (er_match_f1, er_blocking_metrics, er_clusters_diff_golden)
+    must join this labeled table rather than re-deriving keys from the engine's
+    canonical columns. Same CTE text as the DuckDB oracle side."""
+    register_views(spark, sf_dir, tables=["orders", "customer"])
+    return spark.sql(
+        MENTIONS_EXPECTED_CTE
+        + "SELECT DISTINCT email, match_key FROM mentions_expected WHERE valid_lax"
     )
 
 

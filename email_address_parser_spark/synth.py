@@ -75,6 +75,18 @@ def _flip_case(s: str, rng: np.random.RandomState) -> str:
     return flipped if flipped != s else s.upper()
 
 
+def _typo_domain(domain: str, rng: np.random.RandomState) -> str:
+    """One-deletion typo inside the FIRST label of the domain (never the dot
+    or the TLD, so the result still parses as a multi-label domain). The typo
+    variant keeps its entity's identity — the cross-domain true-match
+    material channels 3/4 of blocking.candidate_pairs exist for."""
+    label, rest = domain.split(".", 1)
+    if len(label) < 3:
+        return f"{label}x.{rest}"  # too short to delete: append instead
+    i = 1 + int(rng.randint(0, len(label) - 1))
+    return f"{label[:i]}{label[i + 1:]}.{rest}"
+
+
 def _typo(local: str, rng: np.random.RandomState) -> str:
     i = int(rng.randint(0, max(1, len(local) - 1)))
     if local[i] == "." or local[i] == "-":
@@ -88,9 +100,12 @@ def _typo(local: str, rng: np.random.RandomState) -> str:
 def mint_identities(n_entities: int, seed: int = 42) -> pd.DataFrame:
     """identities(entity_id, canonical_email, variants array<string>, lax_variants array<string>).
 
-    Variants all strict- or lax-valid and all resolve to the same match key
-    (dotless local, lowercased domain). ~25% of entities get a sibling 'typo'
-    entity one edit away on the same domain (minted as separate identities).
+    Variants all strict- or lax-valid and (except the domain-typo variant)
+    resolve to the same match key (dotless local, lowercased domain). ~30% of
+    entities additionally get a DOMAIN-TYPO variant — same identity, domain
+    one edit away — which no same-domain blocking can reach; ~25% get a
+    sibling 'typo' entity one LOCAL edit away on the same domain (minted as
+    separate identities, the hard negatives).
     """
     rng = np.random.RandomState(seed)
     rows = []
@@ -107,6 +122,11 @@ def mint_identities(n_entities: int, seed: int = 42) -> pd.DataFrame:
             f"{local.replace('.', '')}@{domain}",           # dotless local
             f'"{local}"@{domain}',                           # quoted local
         ]
+        if rng.rand() < 0.3:  # domain-typo variant(s), same identity
+            tdom = _typo_domain(domain, rng)
+            variants.append(f"{local}@{tdom}")
+            if rng.rand() < 0.5:  # dot-variant local × domain typo
+                variants.append(f"{local.replace('.', '')}@{tdom}")
         lax_variants = [
             f"\r\n {local}@{domain}",                        # leading FWS fold
             f"(note){local}@{domain}",                       # CFWS comment
@@ -236,8 +256,10 @@ def _match_key_domain(email: str) -> str:
 def build_labeled_pairs(mentions_truth: pd.DataFrame) -> pd.DataFrame:
     """labeled_pairs(email_a, email_b, block_key, is_match) — all intra-block
     pairs of distinct valid mention strings, label = same entity_id
-    (FIXTURES.md §3). Block key = exact lowercased domain, the same blocking
-    key the pipeline uses."""
+    (FIXTURES.md §3; block key = exact lowercased domain, the same blocking
+    key the pipeline uses), PLUS every same-entity CROSS-block pair (the
+    domain-typo variants), so the F1 acceptance counts a missed cross-domain
+    match as a false negative instead of silently excluding it."""
     uniq = (
         mentions_truth[mentions_truth["valid"]]
         .drop_duplicates(subset=["raw"])[["raw", "entity_id"]]
@@ -257,4 +279,17 @@ def build_labeled_pairs(mentions_truth: pd.DataFrame) -> pd.DataFrame:
                         "is_match": recs[i]["entity_id"] == recs[j]["entity_id"],
                     }
                 )
+    for ent, grp in uniq[uniq["entity_id"].notna()].groupby("entity_id"):
+        recs = grp.sort_values("raw").to_dict("records")
+        for i in range(len(recs)):
+            for j in range(i + 1, len(recs)):
+                if recs[i]["block_key"] != recs[j]["block_key"]:
+                    pairs.append(
+                        {
+                            "email_a": recs[i]["raw"],
+                            "email_b": recs[j]["raw"],
+                            "block_key": f'{recs[i]["block_key"]}|{recs[j]["block_key"]}',
+                            "is_match": True,
+                        }
+                    )
     return pd.DataFrame(pairs, columns=["email_a", "email_b", "block_key", "is_match"])

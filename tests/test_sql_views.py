@@ -14,7 +14,13 @@ def test_sql_views_agree_with_dataframes(spark):
            FROM er_mentions WHERE valid_lax
            GROUP BY domain_canon ORDER BY domain_canon"""
     ).collect()
-    assert len(by_domain) == 5  # five market segments -> five domains
+    # five market segments -> five base domains, plus the variant-4
+    # domain-typo twin of each (first char dropped, sources/testdata.py)
+    domains = {r.domain_canon for r in by_domain}
+    assert len(by_domain) == 10
+    bases = {d for d in domains if not any(d == o[1:] for o in domains)}
+    assert len(bases) == 5
+    assert domains == bases | {b[1:] for b in bases}
     assert all(r.n > 0 for r in by_domain)
 
     joined = spark.sql(
