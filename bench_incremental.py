@@ -14,14 +14,21 @@ Variants timed:
                     extract the batch, score only batch-incident rep pairs,
                     quotient CC, emit the DELTA of assignments (prod writes
                     it with a partition-pruned MERGE)
+  fold_commit     — fold_delta INCLUDING the durable state commit: the
+                    merge-on-read append of every update table
+                    (streaming.incremental_stream.write_state_mor) — the
+                    true end-to-end per-batch cost a streaming deployment
+                    pays. Each rep restarts from a pristine copy of the
+                    bootstrap state (untimed reset), so reps are i.i.d.
   fold_full_view  — same fold, but also materializing the full updated
                     clusters view (the O(dim) union a small-corpus caller
                     might want)
   full            — recompute from raw transcripts, optimized collapsed
                     batch chain (bench.py's er_pipeline path)
 
-The scaling law to read: at a FIXED batch size, fold_delta stays flat as
-SPARK_GRAFT_REPL grows the corpus (disjoint identity spaces), while `full`
+The scaling law to read: at a FIXED batch size, fold_delta AND fold_commit
+stay flat as SPARK_GRAFT_REPL grows the corpus (disjoint identity spaces) —
+commit writes are batch-sized appends, not state rewrites — while `full`
 grows linearly. Prints ONE JSON line.
 """
 
@@ -44,7 +51,6 @@ from email_address_parser_spark.operators.blocking import (
 )
 from email_address_parser_spark.operators.extract import extract_mentions, with_canonical
 from email_address_parser_spark.operators.incremental import (
-    STATE_TABLES,
     build_incremental_state,
     fold_batch,
 )
@@ -116,28 +122,47 @@ def main() -> None:
     new_t = transcripts.where(~is_prev).persist()
     n_batch = new_t.count()
 
-    # ---- bootstrap + checkpoint state (untimed; doubles as chain warmup)
-    state = build_incremental_state(
-        spark, prev_t, hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK
-    )
-    for name in STATE_TABLES:
-        state[name].write.mode("overwrite").parquet(f"{state_dir}/{name}")
+    # ---- bootstrap + checkpoint state (untimed; doubles as chain warmup).
+    # MoR layout (epoch-0 base): fold_commit appends to a pristine COPY.
+    import shutil
 
-    def _load_state():
-        return {
-            name: spark.read.parquet(f"{state_dir}/{name}") for name in STATE_TABLES
-        }
+    from email_address_parser_spark.streaming.incremental_stream import (
+        read_state,
+        write_state_mor,
+    )
+
+    base_dir = f"{state_dir}_base"
+    write_state_mor(
+        build_incremental_state(
+            spark, prev_t, hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK
+        ),
+        base_dir,
+        mode="overwrite",
+    )
+
+    def _reset_state():
+        shutil.rmtree(state_dir, ignore_errors=True)
+        shutil.copytree(base_dir, state_dir)
+
+    _reset_state()
 
     def run_fold_delta() -> None:
         out = fold_batch(
-            spark, new_t, _load_state(),
+            spark, new_t, read_state(spark, state_dir),
             hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK,
         )
         _force(out["delta"])
 
+    def run_fold_commit() -> None:
+        out = fold_batch(
+            spark, new_t, read_state(spark, state_dir),
+            hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK,
+        )
+        write_state_mor(out["updates"], state_dir)
+
     def run_fold_full_view() -> None:
         out = fold_batch(
-            spark, new_t, _load_state(),
+            spark, new_t, read_state(spark, state_dir),
             hot_threshold=HOT_THRESHOLD, target_block_size=TARGET_BLOCK,
         )
         _force(out["clusters"])
@@ -147,6 +172,7 @@ def main() -> None:
 
     variants = {
         "fold_delta": run_fold_delta,
+        "fold_commit": run_fold_commit,
         "fold_full_view": run_fold_full_view,
         "full": run_full,
     }
@@ -157,6 +183,8 @@ def main() -> None:
             spark.catalog.clearCache()
             transcripts.persist(), prev_t.persist(), new_t.persist()
             new_t.count()
+            if name == "fold_commit":
+                _reset_state()  # untimed: each rep commits onto the same base
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0
@@ -170,6 +198,9 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "speedup_vs_full": round(timings["full"] / timings["fold_delta"], 2),
+        "commit_speedup_vs_full": round(
+            timings["full"] / timings["fold_commit"], 2
+        ),
         "sf": sf,
         "cpus": cpus,
         "turns": n_turns,

@@ -89,10 +89,28 @@ def with_minhash_bands(df: DataFrame, local_col: str = "local_canon") -> DataFra
     return df.withColumn("band_sigs", minhash_bands_udf(F.col(local_col)))
 
 
+def with_email_bands(df: DataFrame) -> DataFrame:
+    """Add `email_bands: array<long>` — the LSH band keys of the assembled
+    canonical address (cross-domain channel 4). Pure function of the email,
+    so it rides the dim state exactly like `band_sigs`."""
+    return df.withColumn(
+        "email_bands",
+        minhash_bands_udf(
+            F.concat(F.col("local_canon"), F.lit("@"), F.col("domain_canon"))
+        ),
+    )
+
+
+def _dotless(col: str = "local_canon") -> F.Column:
+    return F.regexp_replace(F.col(col), r"\.", "")
+
+
 def _restricted_pairs(
     blocked: DataFrame,
     key: list,
     cross_block: bool = False,
+    cross_domain: bool = False,
+    diff_local: bool = False,
 ) -> DataFrame:
     """Self-join on `key`, keeping only pairs with >= 1 new side, each
     unordered pair exactly once:
@@ -115,6 +133,10 @@ def _restricted_pairs(
     cond = cond & (F.col("a.email") != F.col("b.email"))
     if cross_block:
         cond = cond & (F.col("a.block_key") != F.col("b.block_key"))
+    if cross_domain:
+        cond = cond & (F.col("a.domain_canon") != F.col("b.domain_canon"))
+    if diff_local:
+        cond = cond & (F.col("a._dl") != F.col("b._dl"))
     a_first = F.col("a.email") < F.col("b.email")
 
     def pick(col: str, first: bool):
@@ -141,12 +163,16 @@ def incremental_candidate_pairs(
     target_block_size: int = 5_000,
     use_lsh: bool = True,
     lsh_max_bucket: int = 50,
+    use_cross_domain: bool = True,
+    local_max_block: int = 50,
+    use_email_lsh: bool = True,
 ) -> DataFrame:
     """Candidate pairs touching >= 1 new email, over the flagged union dim
     (`_is_new` boolean column). Channel structure mirrors
-    `blocking.candidate_pairs` — exact salted-block channel plus the
-    cross-block same-domain LSH channel, disjoint by the same block-key
-    argument, so no full-pair dedup shuffle runs here either."""
+    `blocking.candidate_pairs` — exact salted-block, same-domain cross-block
+    local-LSH, cross-domain exact-local, cross-domain full-email LSH — with
+    the same pairwise-disjointness predicates, so no full-pair dedup shuffle
+    runs here either."""
     blocked = with_salted_domain_block(
         updated_dim, hot_threshold, target_block_size
     ).persist()
@@ -187,6 +213,58 @@ def incremental_candidate_pairs(
             bounded, ["band_idx", "band_sig", "domain_canon"], cross_block=True
         ).dropDuplicates(["email_a", "email_b"])
         pairs = pairs.unionByName(lsh_pairs)
+
+    if use_cross_domain:
+        # channel 3 — cross-domain exact-local: block sizes over the UNION
+        # dim so cap decisions match a full recompute over the grown corpus
+        dotted = blocked.withColumn("_dl", _dotless()).persist()
+        local_sizes = dotted.groupBy("_dl").agg(F.count(F.lit(1)).alias("_ln"))
+        bounded_local = dotted.join(
+            local_sizes.where(F.col("_ln") <= local_max_block), ["_dl"]
+        )
+        xd_pairs = _restricted_pairs(
+            bounded_local.select(
+                "_dl", "email", "local_canon", "domain_canon", "_is_new"
+            ),
+            ["_dl"],
+            cross_domain=True,
+        )
+        pairs = pairs.unionByName(xd_pairs)
+
+        if use_email_lsh:
+            # channel 4 — cross-domain cross-local full-email LSH; persisted
+            # email_bands when the dim carries them (state path)
+            eband_col = (
+                F.col("email_bands")
+                if "email_bands" in blocked.columns
+                else minhash_bands_udf(
+                    F.concat(
+                        F.col("local_canon"), F.lit("@"), F.col("domain_canon")
+                    )
+                )
+            )
+            with_ebands = dotted.select(
+                "email",
+                "local_canon",
+                "domain_canon",
+                "_dl",
+                "_is_new",
+                F.posexplode(eband_col).alias("band_idx", "band_sig"),
+            )
+            ebucket_sizes = with_ebands.groupBy("band_idx", "band_sig").agg(
+                F.count(F.lit(1)).alias("_bn")
+            )
+            ebounded = with_ebands.join(
+                ebucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
+                ["band_idx", "band_sig"],
+            ).persist()
+            email_lsh_pairs = _restricted_pairs(
+                ebounded,
+                ["band_idx", "band_sig"],
+                cross_domain=True,
+                diff_local=True,
+            ).dropDuplicates(["email_a", "email_b"])
+            pairs = pairs.unionByName(email_lsh_pairs)
     return pairs
 
 
@@ -237,6 +315,9 @@ def incremental_cluster_update(
     threshold: float = DEFAULT_THRESHOLD,
     new_mentions: Optional[DataFrame] = None,
     collapse_exact: bool = False,
+    use_cross_domain: bool = True,
+    local_max_block: int = 50,
+    use_email_lsh: bool = True,
 ) -> Dict[str, DataFrame]:
     """Fold `new_transcripts` into (`prev_clusters`, `prev_uniq`).
 
@@ -271,15 +352,22 @@ def incremental_cluster_update(
         # re-band the whole prev dim once (prod keeps band_sigs in state so
         # the UDF only ever runs over the batch)
         prev_uniq = with_minhash_bands(prev_uniq)
+    want_ebands = use_cross_domain and use_email_lsh
+    if want_ebands and "email_bands" not in prev_uniq.columns:
+        prev_uniq = with_email_bands(prev_uniq)
     new_uniq = batch_uniq.join(
         prev_uniq.select("email"), "email", "left_anti"
     )
     if use_lsh:
         new_uniq = with_minhash_bands(new_uniq)
+    if want_ebands:
+        new_uniq = with_email_bands(new_uniq)
     new_uniq = new_uniq.persist()
     updated_uniq = prev_uniq.unionByName(new_uniq)
-    dim_cols = ["email", "local_canon", "domain_canon"] + (
-        ["band_sigs"] if use_lsh else []
+    dim_cols = (
+        ["email", "local_canon", "domain_canon"]
+        + (["band_sigs"] if use_lsh else [])
+        + (["email_bands"] if want_ebands else [])
     )
 
     if collapse_exact:
@@ -292,6 +380,8 @@ def incremental_cluster_update(
         ]
         if use_lsh:
             rep_aggs.append(F.min_by("band_sigs", "email").alias("band_sigs"))
+        if want_ebands:
+            rep_aggs.append(F.min_by("email_bands", "email").alias("email_bands"))
         rep_rows = updated_uniq.groupBy("match_key", "domain_canon").agg(*rep_aggs)
         batch_keys = new_uniq.select("match_key").distinct()
         # anchor = the key's PREV root when the key already exists (so new
@@ -335,6 +425,9 @@ def incremental_cluster_update(
             target_block_size=target_block_size,
             use_lsh=use_lsh,
             lsh_max_bucket=lsh_max_bucket,
+            use_cross_domain=use_cross_domain,
+            local_max_block=local_max_block,
+            use_email_lsh=use_email_lsh,
         )
         edges = (
             match_edges(score_pairs(fuzzy_pairs), threshold)
@@ -352,6 +445,9 @@ def incremental_cluster_update(
             target_block_size=target_block_size,
             use_lsh=use_lsh,
             lsh_max_bucket=lsh_max_bucket,
+            use_cross_domain=use_cross_domain,
+            local_max_block=local_max_block,
+            use_email_lsh=use_email_lsh,
         )
         edges = match_edges(score_pairs(pairs), threshold).persist()
 
@@ -414,7 +510,10 @@ def incremental_cluster_update(
 # v2: fully state-maintained fold (delta-emitting, no O(dim) shuffle)
 # ---------------------------------------------------------------------------
 
-STATE_TABLES = ("uniq", "reps", "domain_counts", "bucket_counts", "clusters")
+STATE_TABLES = (
+    "uniq", "reps", "domain_counts", "bucket_counts",
+    "local_counts", "ebucket_counts", "clusters",
+)
 
 
 def build_incremental_state(
@@ -425,17 +524,24 @@ def build_incremental_state(
     use_lsh: bool = True,
     lsh_max_bucket: int = 50,
     threshold: float = DEFAULT_THRESHOLD,
+    use_cross_domain: bool = True,
+    local_max_block: int = 50,
+    use_email_lsh: bool = True,
 ) -> Dict[str, DataFrame]:
     """One-time bootstrap of the fold state from a corpus (the batch
     collapsed pipeline plus the derived dims `fold_batch` maintains):
 
-      uniq          — distinct valid emails + canon cols + band_sigs
-      reps          — one representative per match_key (min email, its
-                      local_canon and band_sigs)
-      domain_counts — rep count per domain_canon (the salting statistic the
-                      collapsed batch path derives on the fly)
-      bucket_counts — rep count per LSH (band_idx, band_sig) bucket
-      clusters      — (email, cluster_id), the collapsed-path clustering
+      uniq           — distinct valid emails + canon cols + band_sigs +
+                       email_bands
+      reps           — one representative per match_key (min email, its
+                       local_canon, band_sigs, email_bands)
+      domain_counts  — rep count per domain_canon (the salting statistic the
+                       collapsed batch path derives on the fly)
+      bucket_counts  — rep count per local-LSH (band_idx, band_sig) bucket
+      local_counts   — rep count per dotless local (cross-domain channel-3
+                       block cap)
+      ebucket_counts — rep count per full-email-LSH bucket (channel-4 cap)
+      clusters       — (email, cluster_id), the collapsed-path clustering
 
     In prod every table is an Iceberg table bucketed by its join key; a fold
     then co-locates against state with partition-pruned scans instead of
@@ -443,17 +549,27 @@ def build_incremental_state(
     from .blocking import candidate_pairs, exact_match_edges
     from ..pipeline import cluster_mentions_collapsed
 
+    want_ebands = use_cross_domain and use_email_lsh
     mentions = with_canonical(extract_mentions(transcripts))
     uniq = uniq_valid_mentions(mentions)
     if use_lsh:
         uniq = with_minhash_bands(uniq)
+    if want_ebands:
+        uniq = with_email_bands(uniq)
+    # persist the expensive subtrees: 7 state tables + the pairs chain all
+    # hang off uniq/reps, and a caller materializes each table separately —
+    # without the persist every materialization re-runs extraction + banding
+    # (measured: bootstrap 31.8 s → the extraction UDF dominating, sf0.01)
+    uniq = uniq.persist()
     rep_aggs = [
         F.min("email").alias("email"),
         F.min_by("local_canon", "email").alias("local_canon"),
     ]
     if use_lsh:
         rep_aggs.append(F.min_by("band_sigs", "email").alias("band_sigs"))
-    reps = uniq.groupBy("match_key", "domain_canon").agg(*rep_aggs)
+    if want_ebands:
+        rep_aggs.append(F.min_by("email_bands", "email").alias("email_bands"))
+    reps = uniq.groupBy("match_key", "domain_canon").agg(*rep_aggs).persist()
     domain_counts = reps.groupBy("domain_canon").agg(
         F.count(F.lit(1)).alias("_dom_n")
     )
@@ -462,6 +578,18 @@ def build_incremental_state(
         .groupBy("band_idx", "band_sig")
         .agg(F.count(F.lit(1)).alias("_bn"))
         if use_lsh
+        else None
+    )
+    local_counts = (
+        reps.groupBy(_dotless().alias("_dl")).agg(F.count(F.lit(1)).alias("_ln"))
+        if use_cross_domain
+        else None
+    )
+    ebucket_counts = (
+        reps.select(F.posexplode("email_bands").alias("band_idx", "band_sig"))
+        .groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("_bn"))
+        if want_ebands
         else None
     )
     pairs = candidate_pairs(
@@ -473,6 +601,9 @@ def build_incremental_state(
         collapse_exact=True,
         dedupe=False,
         uniq=uniq.select("email", "local_canon", "domain_canon", "match_key"),
+        use_cross_domain=use_cross_domain,
+        local_max_block=local_max_block,
+        use_email_lsh=use_email_lsh,
     )
     fuzzy = match_edges(score_pairs(pairs), threshold)
     clusters = cluster_mentions_collapsed(
@@ -480,12 +611,16 @@ def build_incremental_state(
         fuzzy,
         exact_match_edges(mentions, uniq=uniq.select("email", "match_key")),
         nodes=uniq,
-    )
+    ).persist()  # fold_batch references clusters several times (quotient
+    # contraction, untouched passthrough, delta) — each ref would otherwise
+    # re-run the whole bootstrap clustering chain
     return {
         "uniq": uniq,
         "reps": reps,
         "domain_counts": domain_counts,
         "bucket_counts": bucket_counts,
+        "local_counts": local_counts,
+        "ebucket_counts": ebucket_counts,
         "clusters": clusters,
     }
 
@@ -500,6 +635,9 @@ def fold_batch(
     lsh_max_bucket: int = 50,
     threshold: float = DEFAULT_THRESHOLD,
     new_mentions: Optional[DataFrame] = None,
+    use_cross_domain: bool = True,
+    local_max_block: int = 50,
+    use_email_lsh: bool = True,
 ) -> Dict[str, DataFrame]:
     """Fold one batch into `state` touching only the batch and its affected
     neighborhood — the web-scale shape of G24:
@@ -523,9 +661,12 @@ def fold_batch(
     by tests/test_incremental.py (single and chained folds)."""
     if new_mentions is None:
         new_mentions = with_canonical(extract_mentions(new_transcripts))
+    want_ebands = use_cross_domain and use_email_lsh
     batch_uniq = uniq_valid_mentions(new_mentions)
     if use_lsh:
         batch_uniq = with_minhash_bands(batch_uniq)
+    if want_ebands:
+        batch_uniq = with_email_bands(batch_uniq)
     # prod: state.uniq is bucketed by email -> co-located anti-join
     new_uniq = batch_uniq.join(
         state["uniq"].select("email"), "email", "left_anti"
@@ -535,7 +676,16 @@ def fold_batch(
     batch_domains = new_uniq.select("domain_canon").distinct()
 
     # --- affected reps: min-merge of the state slice with the batch --------
-    prev_slice = state["reps"].join(
+    # prune the slice to THIS fold's channel config: a state built with more
+    # channels than the fold uses (e.g. email_bands present, use_email_lsh
+    # False) must not leak its extra columns into the merge
+    rep_cols = (
+        ["match_key", "domain_canon", "email", "local_canon"]
+        + (["band_sigs"] if use_lsh else [])
+        + (["email_bands"] if want_ebands else [])
+    )
+    state_reps = state["reps"].select(*rep_cols)
+    prev_slice = state_reps.join(
         F.broadcast(batch_keys), "match_key", "left_semi"
     ).persist()
     rep_aggs = [
@@ -544,6 +694,8 @@ def fold_batch(
     ]
     if use_lsh:
         rep_aggs.append(F.min_by("band_sigs", "email").alias("band_sigs"))
+    if want_ebands:
+        rep_aggs.append(F.min_by("email_bands", "email").alias("email_bands"))
     merged_reps = (
         prev_slice.unionByName(
             new_uniq.select(*prev_slice.columns)
@@ -600,7 +752,7 @@ def fold_batch(
 
     # --- partner slice: state reps in the batch's domains -------------------
     partners = (
-        state["reps"]
+        state_reps
         .join(F.broadcast(batch_domains), "domain_canon", "left_semi")
         .join(F.broadcast(batch_keys), "match_key", "left_anti")
     )
@@ -682,6 +834,138 @@ def fold_batch(
         ).dropDuplicates(["email_a", "email_b"])
         pairs = pairs.unionByName(lsh_pairs)
 
+    local_updates = None
+    ebucket_updates = None
+    if use_cross_domain:
+        # --- channel 3: cross-domain exact-local. Counts merged from state
+        # (a rep's dotless local never changes — all members of a match_key
+        # share it — so the delta is purely the batch's NEW keys) -----------
+        batch_dls = new_uniq.select(_dotless().alias("_dl")).distinct()
+        new_key_dls = (
+            merged_reps.join(
+                F.broadcast(prev_slice.select("match_key")), "match_key", "left_anti"
+            )
+            .groupBy(_dotless().alias("_dl"))
+            .agg(F.count(F.lit(1)).alias("_delta"))
+        )
+        local_updates = (
+            state["local_counts"]
+            .join(F.broadcast(batch_dls), "_dl", "left_semi")
+            .join(new_key_dls, "_dl", "outer")
+            .select(
+                "_dl",
+                (
+                    F.coalesce(F.col("_ln"), F.lit(0))
+                    + F.coalesce(F.col("_delta"), F.lit(0))
+                ).alias("_ln"),
+            )
+        ).persist()
+        # partner slice: state reps sharing a batch dotless local (prod: the
+        # reps table's dotless secondary partition prunes this scan)
+        xd_partners = (
+            state_reps
+            .withColumn("_dl", _dotless())
+            .join(F.broadcast(batch_dls), "_dl", "left_semi")
+            .join(F.broadcast(batch_keys), "match_key", "left_anti")
+        )
+        xd_cols = ["_dl", "email", "local_canon", "domain_canon", "_is_new"]
+        xd_dim = (
+            xd_partners.withColumn("_is_new", F.lit(False)).select(*xd_cols)
+            .unionByName(
+                merged_reps.withColumn("_dl", _dotless())
+                .withColumn("_is_new", F.lit(True))
+                .select(*xd_cols)
+            )
+        )
+        xd_bounded = xd_dim.join(
+            F.broadcast(local_updates.where(F.col("_ln") <= local_max_block)),
+            ["_dl"],
+        )
+        xd_pairs = _restricted_pairs(xd_bounded, ["_dl"], cross_domain=True)
+        pairs = pairs.unionByName(xd_pairs)
+
+        if use_email_lsh:
+            # --- channel 4: cross-domain full-email LSH; bucket counts
+            # merged exactly like the local-LSH bucket_counts ----------------
+            removed_e = prev_slice.select(
+                F.posexplode("email_bands").alias("band_idx", "band_sig")
+            ).groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_rm"))
+            added_e = merged_reps.select(
+                F.posexplode("email_bands").alias("band_idx", "band_sig")
+            ).groupBy("band_idx", "band_sig").agg(F.count(F.lit(1)).alias("_ad"))
+            touched_ebuckets = (
+                removed_e.select("band_idx", "band_sig")
+                .union(added_e.select("band_idx", "band_sig"))
+                .distinct()
+            )
+            ebucket_updates = (
+                state["ebucket_counts"]
+                .join(
+                    F.broadcast(touched_ebuckets),
+                    ["band_idx", "band_sig"],
+                    "left_semi",
+                )
+                .join(removed_e, ["band_idx", "band_sig"], "outer")
+                .join(added_e, ["band_idx", "band_sig"], "outer")
+                .select(
+                    "band_idx",
+                    "band_sig",
+                    (
+                        F.coalesce(F.col("_bn"), F.lit(0))
+                        - F.coalesce(F.col("_rm"), F.lit(0))
+                        + F.coalesce(F.col("_ad"), F.lit(0))
+                    ).alias("_bn"),
+                )
+            ).persist()
+            e_cols = [
+                "email", "local_canon", "domain_canon", "_dl", "_is_new",
+                "band_idx", "band_sig",
+            ]
+            new_ebands = (
+                merged_reps.withColumn("_dl", _dotless())
+                .withColumn("_is_new", F.lit(True))
+                .select(
+                    "email", "local_canon", "domain_canon", "_dl", "_is_new",
+                    F.posexplode("email_bands").alias("band_idx", "band_sig"),
+                )
+            )
+            partner_ebands = (
+                state_reps
+                .join(F.broadcast(batch_keys), "match_key", "left_anti")
+                .withColumn("_dl", _dotless())
+                .withColumn("_is_new", F.lit(False))
+                .select(
+                    "email", "local_canon", "domain_canon", "_dl", "_is_new",
+                    F.posexplode("email_bands").alias("band_idx", "band_sig"),
+                )
+                .join(
+                    F.broadcast(
+                        new_ebands.select("band_idx", "band_sig").distinct()
+                    ),
+                    ["band_idx", "band_sig"],
+                    "left_semi",
+                )
+            )
+            # persist: _restricted_pairs references this three times
+            ebounded = (
+                new_ebands.select(*e_cols)
+                .unionByName(partner_ebands.select(*e_cols))
+                .join(
+                    F.broadcast(
+                        ebucket_updates.where(F.col("_bn") <= lsh_max_bucket)
+                    ),
+                    ["band_idx", "band_sig"],
+                )
+                .persist()
+            )
+            e_pairs = _restricted_pairs(
+                ebounded,
+                ["band_idx", "band_sig"],
+                cross_domain=True,
+                diff_local=True,
+            ).dropDuplicates(["email_a", "email_b"])
+            pairs = pairs.unionByName(e_pairs)
+
     edges = (
         match_edges(score_pairs(pairs), threshold)
         .unionByName(star_edges)
@@ -728,8 +1012,10 @@ def fold_batch(
     clusters_view = untouched.unionByName(delta)
 
     new_state = {
-        "uniq": state["uniq"].unionByName(new_uniq),
-        "reps": state["reps"]
+        # pruned views: the updated state reflects THIS fold's channel
+        # config even when the prior state carried more columns
+        "uniq": state["uniq"].select(*new_uniq.columns).unionByName(new_uniq),
+        "reps": state_reps
         .join(F.broadcast(batch_keys), "match_key", "left_anti")
         .unionByName(merged_reps),
         "domain_counts": state["domain_counts"]
@@ -746,11 +1032,43 @@ def fold_batch(
             if use_lsh
             else None
         ),
+        "local_counts": (
+            state["local_counts"]
+            .join(F.broadcast(local_updates.select("_dl")), "_dl", "left_anti")
+            .unionByName(local_updates)
+            if use_cross_domain
+            else None
+        ),
+        "ebucket_counts": (
+            state["ebucket_counts"]
+            .join(
+                F.broadcast(ebucket_updates.select("band_idx", "band_sig")),
+                ["band_idx", "band_sig"],
+                "left_anti",
+            )
+            .unionByName(ebucket_updates)
+            if want_ebands
+            else None
+        ),
         "clusters": clusters_view,
+    }
+    # batch-sized per-table update frames — what a merge-on-read state store
+    # appends per fold (streaming.incremental_stream.write_state_mor). Every
+    # frame carries the COMPLETE merged value for each key it touches, so
+    # latest-epoch-wins resolution reconstructs new_state exactly.
+    updates = {
+        "uniq": new_uniq,
+        "reps": merged_reps,
+        "domain_counts": touched_counts,
+        "bucket_counts": bucket_updates,
+        "local_counts": local_updates,
+        "ebucket_counts": ebucket_updates,
+        "clusters": delta,
     }
     return {
         "delta": delta,
         "clusters": clusters_view,
         "edges": edges,
         "state": new_state,
+        "updates": updates,
     }

@@ -136,6 +136,33 @@ def fold_embeddings(
     }
 
 
+def write_ivf_state(state: Dict[str, DataFrame], state_dir: str) -> None:
+    """Bootstrap persistence: `assigned` is PARTITIONED BY CELL (the Iceberg
+    layout the module docstring promises — round-4: prove it in-sandbox).
+    Folds then append with `append_ivf_delta`, which writes files only under
+    the cells the batch actually lands in; nothing is ever rewritten, so the
+    per-fold write cost is O(batch) and a query's n_probe cell scan
+    partition-prunes on disk."""
+    state["centroids"].write.mode("overwrite").parquet(f"{state_dir}/centroids")
+    state["assigned"].write.mode("overwrite").partitionBy("cell").parquet(
+        f"{state_dir}/assigned"
+    )
+
+
+def append_ivf_delta(delta: DataFrame, state_dir: str) -> None:
+    """Append one fold's newly assigned vectors — touched-cell files only."""
+    delta.write.mode("append").partitionBy("cell").parquet(
+        f"{state_dir}/assigned"
+    )
+
+
+def read_ivf_state(spark: SparkSession, state_dir: str) -> Dict[str, DataFrame]:
+    return {
+        "centroids": spark.read.parquet(f"{state_dir}/centroids"),
+        "assigned": spark.read.parquet(f"{state_dir}/assigned"),
+    }
+
+
 def ivf_topk_from_state(
     state: Dict[str, DataFrame],
     query_ids: List[int],

@@ -160,12 +160,13 @@ def fold_docs(
     max_bucket: int = 64,
 ) -> Dict[str, DataFrame]:
     """Fold one document batch into `state`; returns {"delta", "clusters",
-    "state"} where `delta` is the batch-sized set of new/changed rows
-    (schema (id, cluster_id, quality_score, is_kept)), `clusters` the full
-    updated view, and `state` the updated state tables (lazy; prod persists
-    them with batch-sized MERGE writes). Re-applying an already-folded batch
-    is a no-op (ids drain through the anti-join) — the restart-safety
-    contract."""
+    "state", "updates"} where `delta` is the batch-sized set of new/changed
+    rows (schema (id, cluster_id, quality_score, is_kept)), `clusters` the
+    full updated view, `state` the updated state tables (lazy), and
+    `updates` the batch-sized per-table frames a merge-on-read state store
+    appends per fold (streaming.incremental_stream.write_state_mor).
+    Re-applying an already-folded batch is a no-op (ids drain through the
+    anti-join) — the restart-safety contract."""
     batch = _batch_tables(new_docs, text_col, id_col)
     # restart safety: drop docs already in state (id is the dedupe key)
     new_ids = (
@@ -270,4 +271,20 @@ def fold_docs(
         "meta": state["meta"].unionByName(b_meta),
         "clusters": clusters_view,
     }
-    return {"delta": touched, "clusters": clusters_view, "state": new_state}
+    # batch-sized update frames for a merge-on-read state store
+    # (streaming.incremental_stream.write_state_mor): bands/grams/meta are
+    # append-only batch rows; `touched` carries the complete re-elected row
+    # for every cluster the batch touched, so latest-wins on id reconstructs
+    # clusters_view exactly
+    updates = {
+        "bands": b_bands,
+        "grams": b_grams,
+        "meta": b_meta,
+        "clusters": touched.select("id", "cluster_id", "quality_score", "is_kept"),
+    }
+    return {
+        "delta": touched,
+        "clusters": clusters_view,
+        "state": new_state,
+        "updates": updates,
+    }

@@ -14,18 +14,45 @@ committed back. Exactly-once comes from composing two mechanisms:
     through the new-email anti-join (`tests/test_incremental.py::
     test_fold_batch_refold_is_noop`) — so a replayed batch is a no-op.
 
-State here is one parquet directory per table, rewritten per fold (the
-sandbox analog; prod uses Iceberg tables bucketed by join key with
-batch-sized MERGE writes — see `sources/iceberg.py` for the catalog seam).
-`localCheckpoint` materializes the new state BEFORE the overwrite so the
-lazy plans never read a directory they are replacing.
+State storage is MERGE-ON-READ (round-4: "fold writes are batch-sized",
+proven in-sandbox rather than by reference to prod):
+
+  * a fold APPENDS only its update rows — each row stamped with a
+    monotonically increasing `_epoch` and a stable key bucket
+    `_b = pmod(xxhash64(key), N)` — so per-fold write I/O is O(batch),
+    never O(corpus). This is the parquet-dir analog of an Iceberg
+    equality-delete MERGE: upserts land as new data files; nothing is
+    rewritten. (A fold's update keys are hash-scattered across the corpus,
+    so partition-overwrite CANNOT be batch-sized — with batch ≫ #buckets
+    every partition is touched; append + late merge is the only flat-write
+    layout, and it is what merge-on-read Iceberg actually does.)
+  * `read_state` resolves LATEST-EPOCH-WINS per key lazily (update rows
+    always carry the complete merged value for their key, so resolution is
+    one max_by per table). `uniq` is append-only — new emails only — and
+    needs no resolution at all.
+  * `compact_state` is the Iceberg table-maintenance analog: rewrite each
+    table resolved, at epoch 0, amortizing read amplification; run it every
+    K folds. The `_b` bucket column gives compaction (and prod file
+    skipping via parquet min-max stats / Iceberg hidden bucket
+    partitioning) a stable layout key. `_epoch`/`_b` ride as regular
+    columns rather than directory partitions because a partitionBy write of
+    an EMPTY table stores no schema — and an empty bootstrap is a supported
+    entry point.
+
+`localCheckpoint` materializes every update BEFORE the first append so the
+lazy plans never read a directory they are appending to — and with MoR the
+materialized set is batch-sized, where the old full-rewrite path
+checkpointed O(corpus) tables every fold.
 """
 
 from __future__ import annotations
 
+import json
+import os
 from typing import Dict
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ..operators.incremental import STATE_TABLES, build_incremental_state, fold_batch
 from ..operators.incremental_dedup import (
@@ -33,6 +60,106 @@ from ..operators.incremental_dedup import (
     build_dedup_state,
     fold_docs,
 )
+
+# merge keys per state table (latest-epoch row wins per key); `uniq` is
+# append-only and absent here on purpose
+STATE_KEYS = {
+    "reps": ["match_key"],
+    "domain_counts": ["domain_canon"],
+    "bucket_counts": ["band_idx", "band_sig"],
+    "local_counts": ["_dl"],
+    "ebucket_counts": ["band_idx", "band_sig"],
+    "clusters": ["email"],
+}
+# stable layout key for append-only tables (no merge key to bucket by)
+STATE_BUCKET_KEYS = {"uniq": ["email"]}
+# the G26 dedup fold's state uses the same MoR layout with its own keys:
+# bands/grams/meta are append-only (batch rows only), clusters merges on id
+DEDUP_STATE_KEYS = {"clusters": ["id"]}
+DEDUP_BUCKET_KEYS = {"bands": ["id"], "grams": ["id"], "meta": ["id"]}
+N_STATE_BUCKETS = 32
+
+
+def _meta_path(state_dir: str) -> str:
+    return f"{state_dir}/_MOR_META.json"
+
+
+def _read_meta(state_dir: str) -> dict:
+    try:
+        with open(_meta_path(state_dir)) as fh:
+            return json.load(fh)
+    except (OSError, ValueError):
+        return {"epoch": -1, "keys": {}}
+
+
+def _read_epoch(state_dir: str) -> int:
+    return int(_read_meta(state_dir).get("epoch", -1))
+
+
+def _write_meta(state_dir: str, epoch: int, keys: dict) -> None:
+    os.makedirs(state_dir, exist_ok=True)
+    with open(_meta_path(state_dir), "w") as fh:
+        json.dump({"epoch": epoch, "keys": keys}, fh)
+
+
+def write_state_mor(
+    updates: Dict[str, DataFrame],
+    state_dir: str,
+    tables=STATE_TABLES,
+    mode: str = "append",
+    merge_keys: Dict[str, list] = STATE_KEYS,
+    bucket_keys: Dict[str, list] = STATE_BUCKET_KEYS,
+) -> None:
+    """Append one epoch of per-table UPDATE rows (mode='overwrite' writes a
+    fresh base at epoch 0 — the bootstrap / compaction path). Two phases, as
+    in write_state: materialize everything (batch-sized here), then write.
+
+    merge_keys: per-table latest-wins key (absent = append-only);
+    bucket_keys: layout key for append-only tables. The merge keys are
+    recorded in the state dir's metadata (the parquet-dir analog of Iceberg
+    identifier-field metadata), so `read_state` resolves any state dir
+    without being told whose keys it holds."""
+    meta = _read_meta(state_dir)
+    epoch = 0 if mode == "overwrite" else meta["epoch"] + 1
+    materialized = {
+        name: updates[name].localCheckpoint()
+        for name in tables
+        if updates.get(name) is not None
+    }
+    key_meta = {} if mode == "overwrite" else dict(meta.get("keys", {}))
+    for name, df in materialized.items():
+        keys = merge_keys.get(name) or bucket_keys.get(name) or [df.columns[0]]
+        key_meta[name] = merge_keys.get(name)
+        out = (
+            df.withColumn("_epoch", F.lit(epoch))
+            .withColumn(
+                "_b",
+                F.pmod(
+                    F.xxhash64(*[F.col(k) for k in keys]),
+                    F.lit(N_STATE_BUCKETS),
+                ).cast("int"),
+            )
+        )
+        out.write.mode(mode).parquet(f"{state_dir}/{name}")
+    _write_meta(state_dir, epoch, key_meta)
+
+
+def _resolve_latest(
+    name: str, df: DataFrame, merge_keys: Dict[str, list] = STATE_KEYS
+) -> DataFrame:
+    """Latest-epoch-wins per merge key; pass-through for append-only tables
+    and for non-MoR (full-rewrite) layouts."""
+    if "_epoch" not in df.columns:
+        return df
+    if name not in merge_keys:  # append-only (uniq; dedup bands/grams/meta)
+        return df.drop("_epoch", "_b")
+    keys = merge_keys[name]
+    vals = [c for c in df.columns if c not in keys + ["_epoch", "_b"]]
+    return (
+        df.groupBy(*keys)
+        .agg(F.max_by(F.struct(*vals), F.col("_epoch")).alias("_s"))
+        .select(*keys, *[F.col(f"_s.{v}").alias(v) for v in vals])
+    )
 
 
 def write_state(
@@ -57,9 +184,47 @@ def write_state(
 
 
 def read_state(
-    spark: SparkSession, state_dir: str, tables=STATE_TABLES
+    spark: SparkSession,
+    state_dir: str,
+    tables=STATE_TABLES,
+    merge_keys: Dict[str, list] = None,
 ) -> Dict[str, DataFrame]:
-    return {name: spark.read.parquet(f"{state_dir}/{name}") for name in tables}
+    """Read state tables, resolving merge-on-read layouts to their
+    latest-epoch view (plain full-rewrite layouts pass through). Merge keys
+    default to the ones recorded in the dir's metadata at write time, so any
+    state dir (cluster-maintenance, dedup, ...) reads back correctly."""
+    if merge_keys is None:
+        recorded = _read_meta(state_dir).get("keys", {})
+        merge_keys = {k: v for k, v in recorded.items() if v} or STATE_KEYS
+    return {
+        name: _resolve_latest(
+            name, spark.read.parquet(f"{state_dir}/{name}"), merge_keys
+        )
+        for name in tables
+    }
+
+
+def compact_state(
+    spark: SparkSession,
+    state_dir: str,
+    tables=STATE_TABLES,
+    merge_keys: Dict[str, list] = None,
+    bucket_keys: Dict[str, list] = STATE_BUCKET_KEYS,
+) -> None:
+    """Iceberg table-maintenance analog: rewrite every table resolved, as a
+    fresh epoch-0 base, bounding read amplification. Run every K folds; the
+    cost is O(corpus) but amortizes to O(corpus/K) per fold."""
+    if merge_keys is None:
+        recorded = _read_meta(state_dir).get("keys", {})
+        merge_keys = {k: v for k, v in recorded.items() if v} or STATE_KEYS
+    write_state_mor(
+        read_state(spark, state_dir, tables, merge_keys),
+        state_dir,
+        tables,
+        mode="overwrite",
+        merge_keys=merge_keys,
+        bucket_keys=bucket_keys,
+    )
 
 
 def bootstrap_state(
@@ -71,8 +236,10 @@ def bootstrap_state(
     """Initialize the state directory from a (possibly EMPTY) corpus — an
     empty bootstrap makes the stream self-contained: the first micro-batch
     folds into empty tables."""
-    write_state(
-        build_incremental_state(spark, transcripts, **fold_kwargs), state_dir
+    write_state_mor(
+        build_incremental_state(spark, transcripts, **fold_kwargs),
+        state_dir,
+        mode="overwrite",
     )
 
 
@@ -85,12 +252,18 @@ def streaming_cluster_maintenance(
     """writeStream query folding each transcript micro-batch into
     `state_dir`. Returns the started StreamingQuery (availableNow trigger:
     drain what exists, then stop — swap for a processingTime trigger in a
-    long-running deployment)."""
+    long-running deployment).
+
+    Per-batch state I/O is BATCH-SIZED: only `fold_batch`'s update frames
+    are appended (merge-on-read, module docstring). Crash-replay stays
+    exactly-once: a replayed batch's already-folded emails drain through the
+    new-email anti-join, so its appended updates are value-identical rows at
+    a higher epoch — latest-wins resolution makes the replay a no-op."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = fold_batch(spark, batch_df, read_state(spark, state_dir), **fold_kwargs)
-        write_state(out["state"], state_dir)
+        write_state_mor(out["updates"], state_dir)
 
     return (
         transcript_stream.writeStream.foreachBatch(_fold)
@@ -106,10 +279,13 @@ def bootstrap_dedup_state(
     state_dir: str,
     **fold_kwargs,
 ) -> None:
-    write_state(
+    write_state_mor(
         build_dedup_state(spark, docs, **fold_kwargs),
         state_dir,
         tables=DEDUP_STATE_TABLES,
+        mode="overwrite",
+        merge_keys=DEDUP_STATE_KEYS,
+        bucket_keys=DEDUP_BUCKET_KEYS,
     )
 
 
@@ -121,18 +297,29 @@ def streaming_dedup_maintenance(
 ):
     """G26's fold as a foreachBatch consumer: each document micro-batch is
     deduplicated against the persisted keep-best state and folded in — same
-    exactly-once composition (checkpoint replay × re-fold idempotency) as
-    `streaming_cluster_maintenance`."""
+    exactly-once composition (checkpoint replay × re-fold idempotency) and
+    same batch-sized merge-on-read state writes as
+    `streaming_cluster_maintenance`: bands/grams/meta append the batch's
+    rows, clusters appends latest-wins rows for touched ids only."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = fold_docs(
             spark,
             batch_df,
-            read_state(spark, state_dir, tables=DEDUP_STATE_TABLES),
+            read_state(
+                spark, state_dir,
+                tables=DEDUP_STATE_TABLES, merge_keys=DEDUP_STATE_KEYS,
+            ),
             **fold_kwargs,
         )
-        write_state(out["state"], state_dir, tables=DEDUP_STATE_TABLES)
+        write_state_mor(
+            out["updates"],
+            state_dir,
+            tables=DEDUP_STATE_TABLES,
+            merge_keys=DEDUP_STATE_KEYS,
+            bucket_keys=DEDUP_BUCKET_KEYS,
+        )
 
     return (
         doc_stream.writeStream.foreachBatch(_fold)

@@ -91,13 +91,15 @@ def test_incremental_equals_full_recompute_fuzzy_threshold(spark, corpus_df):
 def test_incremental_merges_two_prev_clusters(spark):
     """A new email bridging two pre-existing clusters must merge them.
 
-    The bridge 'annsmith@ex.com' shares a match_key with 'ann.smith@ex.com'
-    (score 1.0) and is a near-typo of 'annsmith2@ex.com'; the two A-batch
-    emails score lower against each other. The threshold is derived from the
+    The bridge 'annsmith@ex.com' is one edit from 'ansmith@ex.com' (deletion)
+    and one edit from 'annsmyth@ex.com' (substitution); the two A-batch
+    emails are two edits apart and score lower against each other. (Since
+    round 4 the scorer works on DOTLESS locals, so the members must differ in
+    real characters, not dot placement.) The threshold is derived from the
     actual scorer as the midpoint between the direct A<->A score and the
     weakest bridge score, so the test is robust to scoring-formula tweaks as
     long as the bridge stays the strongest link."""
-    a_email, b_email, c_email = "ann.smith@ex.com", "annsmith2@ex.com", "annsmith@ex.com"
+    a_email, b_email, c_email = "ansmith@ex.com", "annsmyth@ex.com", "annsmith@ex.com"
     rows = [
         ("c1", 0, "user", f"contact {a_email} please", None, 0.0),
         ("c2", 0, "user", f"contact {b_email} please", None, 0.0),
