@@ -51,24 +51,42 @@ def ngram_decontaminate(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = DEFAULT_THRESHOLD,
+    broadcast_grams: bool = None,
+    broadcast_max_grams: int = 5_000_000,
 ) -> DataFrame:
     """→ (doc_id, n_grams, n_shared, contamination, contaminated) per train
     doc: distinct n-gram count, distinct grams also present anywhere in the
     benchmark set, their ratio (6 dp), and the flag `contamination >=
-    threshold`."""
+    threshold`.
+
+    broadcast_grams gates the probe strategy. A typical benchmark suite is a
+    few million distinct grams — broadcastable, so the corpus side never
+    shuffles before its one groupBy(doc_id). But the dim is DATA, not config:
+    a 10M-example benchmark's gram dim can exceed executor memory, so above
+    `broadcast_max_grams` (None = measure with one cheap count over the
+    already-distinct dim) the probe falls back to a shuffled left join —
+    identical result, one extra exchange of the corpus gram stream on `gram`.
+    Plan-tested both ways (tests/test_decontam.py)."""
     grams = word_ngrams(text_col, n)
     train_grams = (
         train.select(F.col(id_col), F.explode(grams).alias("gram"))
         .dropDuplicates([id_col, "gram"])
     )
     bench_grams = benchmark.select(F.explode(grams).alias("gram")).distinct()
+    if broadcast_grams is None:
+        broadcast_grams = bench_grams.count() <= broadcast_max_grams
+    probe = bench_grams.withColumn("_hit", F.lit(1))
+    # above the gate the hint must actively FORBID broadcast (Spark's size
+    # estimator would otherwise still pick BroadcastHashJoin from stats and
+    # build the over-sized hash table on every executor); merge = sort-merge,
+    # the safe strategy for a build side that cannot be assumed to fit
+    probe = F.broadcast(probe) if broadcast_grams else probe.hint("merge")
 
-    # one broadcast probe + ONE groupBy(doc_id) produces both counts — the
-    # corpus-side gram stream is shuffled exactly once, on doc_id
+    # one probe + ONE groupBy(doc_id) produces both counts — the corpus-side
+    # gram stream is shuffled at most once before doc_id (zero times when the
+    # probe is broadcast)
     counts = (
-        train_grams.join(
-            F.broadcast(bench_grams.withColumn("_hit", F.lit(1))), "gram", "left"
-        )
+        train_grams.join(probe, "gram", "left")
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_grams"),

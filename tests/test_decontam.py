@@ -62,3 +62,32 @@ def test_decontam_benchmark_side_is_broadcast(spark):
     plan = explain_str(df)
     assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+def test_decontam_size_gate_falls_back_to_shuffled_join(spark):
+    """Above the broadcast gate (a 10M-example benchmark's gram dim can
+    exceed executor memory) the probe must run as a shuffled join, NOT a
+    broadcast — same result either way."""
+    from email_address_parser_spark.plans import explain_str
+
+    train = _df(spark, [(i, f"w{i} x y z q r s t u v") for i in range(20)])
+    bench = _df(spark, [(999, "x y z q r s t u v w")])
+    forced = ngram_decontaminate(train, bench, n=8, broadcast_grams=False)
+    plan = explain_str(forced)
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # gate decisions are value-neutral: both strategies agree row-for-row
+    auto = ngram_decontaminate(train, bench, n=8)
+    assert sorted(map(tuple, forced.collect())) == sorted(map(tuple, auto.collect()))
+
+
+def test_decontam_gate_measures_when_unset(spark):
+    """broadcast_grams=None measures the dim: a gate of 0 distinct grams
+    forces the shuffled plan; the default (5M) keeps the broadcast."""
+    from email_address_parser_spark.plans import explain_str
+
+    train = _df(spark, [(1, "a b c d e f g h i j")])
+    bench = _df(spark, [(9, "c d e f g h i j k l")])
+    small_gate = ngram_decontaminate(train, bench, n=8, broadcast_max_grams=0)
+    assert "SortMergeJoin" in explain_str(small_gate) or "ShuffledHashJoin" in explain_str(small_gate)
+    big_gate = ngram_decontaminate(train, bench, n=8)
+    p = explain_str(big_gate)
+    assert "BroadcastExchange" in p or "BroadcastHashJoin" in p
