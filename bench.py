@@ -177,6 +177,20 @@ def main() -> None:
 
         _force(queries()["doc_packing"](spark, sf_dir))
 
+    # the round-3/4 flagship incremental operators, driver-visible so a
+    # regression in either fold shows up in BENCH_r{N} (bootstrap + fold at
+    # the driver-gate 80/20 split; the fixed-batch scaling laws live in
+    # bench_incremental*.py)
+    def q_incr_fold():
+        from __spark_entry__ import queries
+
+        _force(queries()["er_incremental_fold"](spark, sf_dir))
+
+    def q_dedup_incr():
+        from __spark_entry__ import queries
+
+        _force(queries()["dedup_keep_best_incr"](spark, sf_dir))
+
     suite = {
         "er_mentions": q_mentions,
         "er_pairs_scored": q_pairs_scored,
@@ -191,6 +205,8 @@ def main() -> None:
         "doc_fingerprints": q_docs,
         "doc_splits": q_splits,
         "doc_packing": q_packing,
+        "er_incremental_fold": q_incr_fold,
+        "dedup_keep_best_incr": q_dedup_incr,
     }
 
     timings = {}
