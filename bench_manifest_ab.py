@@ -38,7 +38,7 @@ from email_address_parser_spark.operators.extract import (
     with_canonical,
 )
 from email_address_parser_spark.operators.scoring import score_pairs
-from email_address_parser_spark.pipeline import CheckpointManager, PipelineConfig
+from email_address_parser_spark.pipeline import CheckpointManager
 from email_address_parser_spark.session import build_session
 from email_address_parser_spark.sources.testdata import derive_transcripts
 
@@ -124,9 +124,7 @@ def main() -> None:
 
     def timed_save(impl, stage_name, df):
         shutil.rmtree(ckpt_root, ignore_errors=True)
-        mgr = CheckpointManager(
-            spark, PipelineConfig(checkpoint_dir=ckpt_root, resume=False)
-        )
+        mgr = CheckpointManager(spark, ckpt_root, resume=False)
         group = f"ab-{stage_name}-{time.monotonic_ns()}"
         sc.setJobGroup(group, "manifest A/B")
         t0 = time.perf_counter()
