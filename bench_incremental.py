@@ -183,8 +183,13 @@ def main() -> None:
             spark.catalog.clearCache()
             transcripts.persist(), prev_t.persist(), new_t.persist()
             new_t.count()
-            if name == "fold_commit":
-                _reset_state()  # untimed: each rep commits onto the same base
+            # untimed: EVERY fold rep starts from the pristine base. Without
+            # this, any variant running after a fold_commit rep reads a
+            # state that already contains the batch — the new-email
+            # anti-join drains and the "fold" times a no-op re-fold
+            # (measured: ~2x too fast; the idempotency that makes streaming
+            # replay safe makes a polluted-state benchmark silently wrong)
+            _reset_state()
             t0 = time.perf_counter()
             fn()
             dt = time.perf_counter() - t0

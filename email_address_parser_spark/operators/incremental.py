@@ -684,6 +684,11 @@ def fold_batch(
         + (["band_sigs"] if use_lsh else [])
         + (["email_bands"] if want_ebands else [])
     )
+    # NOT persisted although referenced once per channel: the reps scan is a
+    # 120k-row parquet read here and a pruned co-located scan in prod, while
+    # a cache write costs a full materialization pass on this
+    # memory-bandwidth-bound box (measured round 4: persist() made the fold
+    # ~10% SLOWER, 45-46 s -> 50-55 s best-of-3)
     state_reps = state["reps"].select(*rep_cols)
     prev_slice = state_reps.join(
         F.broadcast(batch_keys), "match_key", "left_semi"

@@ -145,21 +145,41 @@ def write_state_mor(
 
 
 def _resolve_latest(
-    name: str, df: DataFrame, merge_keys: Dict[str, list] = STATE_KEYS
+    name: str,
+    df: DataFrame,
+    merge_keys: Dict[str, list] = STATE_KEYS,
+    epoch: int = None,
 ) -> DataFrame:
     """Latest-epoch-wins per merge key; pass-through for append-only tables
-    and for non-MoR (full-rewrite) layouts."""
+    and for non-MoR (full-rewrite) layouts.
+
+    Resolution must NOT be a full-state shuffle aggregation (the round-4
+    REPL=1 campaign measured that shape at +2.4x fold cost): the base is
+    O(corpus) but the deltas are O(batch x folds-since-compaction), so the
+    merged view is base ANTI-JOIN delta-keys UNION resolved-deltas — the
+    delta side aggregates and broadcasts, the base never shuffles. Each
+    parquet file holds a single `_epoch` value, so the `_epoch > 0` delta
+    scan file-skips the base via footer min-max stats (Iceberg's MoR read
+    does exactly this: data files stream through, equality-deletes/upserts
+    join in broadcast-sized). On a freshly written/compacted base
+    (`epoch == 0`, from dir metadata) resolution short-circuits to a
+    column drop — no join, no aggregation."""
     if "_epoch" not in df.columns:
         return df
     if name not in merge_keys:  # append-only (uniq; dedup bands/grams/meta)
         return df.drop("_epoch", "_b")
+    if epoch is not None and epoch <= 0:  # base only: nothing to merge
+        return df.drop("_epoch", "_b")
     keys = merge_keys[name]
     vals = [c for c in df.columns if c not in keys + ["_epoch", "_b"]]
-    return (
-        df.groupBy(*keys)
+    deltas = (
+        df.where(F.col("_epoch") > 0)
+        .groupBy(*keys)
         .agg(F.max_by(F.struct(*vals), F.col("_epoch")).alias("_s"))
         .select(*keys, *[F.col(f"_s.{v}").alias(v) for v in vals])
     )
+    base = df.where(F.col("_epoch") == 0).drop("_epoch", "_b")
+    return base.join(deltas, keys, "left_anti").unionByName(deltas)
 
 
 def write_state(
@@ -193,12 +213,14 @@ def read_state(
     latest-epoch view (plain full-rewrite layouts pass through). Merge keys
     default to the ones recorded in the dir's metadata at write time, so any
     state dir (cluster-maintenance, dedup, ...) reads back correctly."""
+    meta = _read_meta(state_dir)
     if merge_keys is None:
-        recorded = _read_meta(state_dir).get("keys", {})
+        recorded = meta.get("keys", {})
         merge_keys = {k: v for k, v in recorded.items() if v} or STATE_KEYS
+    epoch = int(meta.get("epoch", -1))
     return {
         name: _resolve_latest(
-            name, spark.read.parquet(f"{state_dir}/{name}"), merge_keys
+            name, spark.read.parquet(f"{state_dir}/{name}"), merge_keys, epoch
         )
         for name in tables
     }
