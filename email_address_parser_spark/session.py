@@ -40,6 +40,16 @@ def build_session(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # plan STRINGS, not plans, are the memory hazard on deep dataflow
+        # graphs: treeString expands every shared-subtree reference, so a
+        # fold plan that references MoR-resolved state tables a dozen times
+        # prints multiplicatively larger than it executes. Spark's default
+        # cap is ~2^31 (unbounded in practice) and the QueryExecution
+        # listeners build these strings even with the UI off — measured: an
+        # 8 GB heap OOMed inside StringConcat.append during a chained
+        # streaming fold. 8 MB keeps any diagnostic string useful and
+        # harmless.
+        .config("spark.sql.maxPlanStringLength", str(8 * 1024 * 1024))
     )
     for key, value in (extra_conf or {}).items():
         builder = builder.config(key, value)
