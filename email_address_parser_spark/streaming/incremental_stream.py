@@ -177,6 +177,11 @@ def _resolve_latest(
         .groupBy(*keys)
         .agg(F.max_by(F.struct(*vals), F.col("_epoch")).alias("_s"))
         .select(*keys, *[F.col(f"_s.{v}").alias(v) for v in vals])
+        # batch-sized and referenced twice here plus once per downstream use
+        # of the resolved view — Spark reuses no exchanges across repeated
+        # non-cached subtree references, so pin the aggregation (lazy: a
+        # table the caller never evaluates costs nothing)
+        .localCheckpoint(eager=False)
     )
     base = df.where(F.col("_epoch") == 0).drop("_epoch", "_b")
     return base.join(deltas, keys, "left_anti").unionByName(deltas)
