@@ -143,6 +143,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_quality": _doc_quality,
         "doc_lang_id": _doc_lang_id,
         "doc_fingerprints": _doc_fingerprints,
+        # G28: Gopher-style repetition filters (type-token ratio, top-bigram
+        # fraction, duplicate bigram/5-gram occurrence fractions, keep flag)
+        "doc_repetition": _doc_repetition,
+        # G29: TF-IDF top-terms per document (corpus DF dim broadcast)
+        "doc_tfidf_topk": _doc_tfidf_topk,
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -422,6 +427,23 @@ def _doc_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.functions.text_analysis import winnow_fingerprints
 
     return winnow_fingerprints(_docs(spark, sf))
+
+
+def _doc_repetition(spark: SparkSession, sf: str) -> DataFrame:
+    """G28 (functions/text_analysis.py): Gopher-style repetition filters —
+    word-gram type-token ratio, top-bigram occupancy, duplicate bigram/5-gram
+    occurrence fractions, and the combined keep flag."""
+    from email_address_parser_spark.functions.text_analysis import with_repetition
+
+    return with_repetition(_docs(spark, sf))
+
+
+def _doc_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """G29 (operators/ranking.py): smoothed TF-IDF top-5 terms per document;
+    the vocabulary-sized DF dim rides a broadcast join."""
+    from email_address_parser_spark.operators.ranking import tfidf_topk
+
+    return tfidf_topk(_docs(spark, sf), k=5)
 
 
 def _dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
@@ -1009,6 +1031,70 @@ def oracle_sql() -> dict[str, str]:
                 FROM g
             )
             SELECT doc_id, unnest(fp) AS gram_hash FROM w""",
+        "doc_repetition": r"""
+            WITH toks AS (
+                SELECT doc_id,
+                    string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+                FROM documents
+            ),
+            g AS (
+                SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+                UNION ALL
+                SELECT doc_id, 2 AS n,
+                    unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                        i -> array_to_string(t[i:i+1], ' '))) AS g
+                FROM toks
+                UNION ALL
+                SELECT doc_id, 5 AS n,
+                    unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                        i -> array_to_string(t[i:i+4], ' '))) AS g
+                FROM toks
+            ),
+            gc AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+            agg AS (
+                SELECT doc_id,
+                    sum(CASE WHEN n = 1 THEN c END) AS occ1,
+                    count(CASE WHEN n = 1 THEN 1 END) AS dis1,
+                    sum(CASE WHEN n = 2 THEN c END) AS occ2,
+                    count(CASE WHEN n = 2 THEN 1 END) AS dis2,
+                    max(CASE WHEN n = 2 THEN c END) AS top2,
+                    sum(CASE WHEN n = 5 THEN c END) AS occ5,
+                    count(CASE WHEN n = 5 THEN 1 END) AS dis5
+                FROM gc GROUP BY 1
+            )
+            SELECT doc_id,
+                round(coalesce(dis1, 0) / CAST(greatest(coalesce(occ1, 0), 1) AS DOUBLE), 6) AS ttr,
+                round(coalesce(top2, 0) / CAST(greatest(coalesce(occ2, 0), 1) AS DOUBLE), 6) AS top_bigram_frac,
+                round(coalesce(occ2 - dis2, 0) / CAST(greatest(coalesce(occ2, 0), 1) AS DOUBLE), 6) AS dup_bigram_frac,
+                round(coalesce(occ5 - dis5, 0) / CAST(greatest(coalesce(occ5, 0), 1) AS DOUBLE), 6) AS dup_5gram_frac,
+                round(coalesce(top2, 0) / CAST(greatest(coalesce(occ2, 0), 1) AS DOUBLE), 6) <= 0.20
+                    AND round(coalesce(occ5 - dis5, 0) / CAST(greatest(coalesce(occ5, 0), 1) AS DOUBLE), 6) <= 0.10
+                    AND round(coalesce(dis1, 0) / CAST(greatest(coalesce(occ1, 0), 1) AS DOUBLE), 6) >= 0.20
+                    AS rep_keep
+            FROM agg""",
+        "doc_tfidf_topk": r"""
+            WITH terms AS (
+                SELECT doc_id, unnest(string_split(
+                    regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, count(*) AS tf
+                FROM terms WHERE term <> '' GROUP BY 1, 2
+            ),
+            dft AS (SELECT term, count(*) AS df_t FROM tf GROUP BY 1),
+            n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+            scored AS (
+                SELECT tf.doc_id, tf.term, tf.tf,
+                    round(tf.tf * (ln((n.n_docs + 1.0) / (dft.df_t + 1.0)) + 1.0), 6) AS score
+                FROM tf JOIN dft USING (term) CROSS JOIN n
+            )
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+                FROM scored
+            ) WHERE rank <= 5""",
         "dedup_exact": r"""
             WITH fp AS (
                 SELECT doc_id,

@@ -117,6 +117,113 @@ def with_md5_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("fp_md5", F.md5(normalized_text(F.col(text_col))))
 
 
+def _word_grams(toks: Column, n: int) -> Column:
+    """All n-word grams of a token array as space-joined strings; empty array
+    when the document has fewer than n tokens."""
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+# Gopher-rule thresholds (Rae et al. 2021 §A1.1-style repetition filters,
+# re-parameterized for word-grams): drop a document when any one repetition
+# signal crosses its line. Part of the operator definition — keep in sync
+# with the oracle SQL in __spark_entry__.
+REP_MAX_TOP_BIGRAM = 0.20
+REP_MAX_DUP_5GRAM = 0.10
+REP_MIN_TTR = 0.20
+
+
+def with_repetition(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style repetition filters over word n-grams: type-token ratio
+    (n=1), the fraction of bigram occurrences taken by the single most
+    frequent bigram (n=2), and the duplicate-occurrence fraction for bigrams
+    and 5-grams — the standard "remove boilerplate / looped generations"
+    quality gate for LLM training corpora.
+
+    Plan shape (scale path): ONE scan of the corpus emits all three gram
+    sizes through a single explode (the per-row struct tag avoids three
+    scans), then two keyed aggregations — `(doc, n, gram)` counts with
+    map-side partial aggregation, then a conditional rollup to one row per
+    document. Both shuffles key on high-cardinality ids, so the operator
+    parallelizes like a word count at any corpus size; no Python runs
+    anywhere.
+
+    Reference anchor: same streaming-kernel discipline as the rest of this
+    module (`rust-lib/src/nom_parser.rs` precompiles its grammar; here the
+    "grammar" is the gram construction, compiled once into codegen).
+    """
+    toks = F.split(normalized_text(F.col(text_col)), " ")
+    def _tag(n: int):
+        # NB: must return a ONE-argument lambda — F.transform hands a
+        # two-argument lambda (element, index), which would shadow a
+        # default-arg n with the element index
+        return lambda g: F.struct(F.lit(n).alias("n"), g.alias("g"))
+
+    tagged = F.flatten(
+        F.array(
+            *[
+                F.transform(_word_grams(F.col("_rep_toks"), n), _tag(n))
+                for n in (1, 2, 5)
+            ]
+        )
+    )
+    rows = (
+        df.select(F.col(id_col), toks.alias("_rep_toks"))
+        .select(F.col(id_col), F.explode(tagged).alias("_s"))
+        .select(F.col(id_col), F.col("_s.n").alias("n"), F.col("_s.g").alias("g"))
+    )
+    gc = rows.groupBy(id_col, "n", "g").agg(F.count("*").alias("c"))
+
+    def _occ(n: int) -> Column:
+        return F.sum(F.when(F.col("n") == n, F.col("c")))
+
+    def _dis(n: int) -> Column:
+        return F.count(F.when(F.col("n") == n, F.lit(1)))
+
+    agg = gc.groupBy(id_col).agg(
+        _occ(1).alias("occ1"),
+        _dis(1).alias("dis1"),
+        _occ(2).alias("occ2"),
+        _dis(2).alias("dis2"),
+        F.max(F.when(F.col("n") == 2, F.col("c"))).alias("top2"),
+        _occ(5).alias("occ5"),
+        _dis(5).alias("dis5"),
+    )
+
+    def _ratio(num: Column, den: Column) -> Column:
+        return F.round(
+            F.coalesce(num, F.lit(0)).cast("double")
+            / F.greatest(F.coalesce(den, F.lit(0)), F.lit(1)).cast("double"),
+            6,
+        )
+
+    ttr = _ratio(F.col("dis1"), F.col("occ1"))
+    top_bigram = _ratio(F.col("top2"), F.col("occ2"))
+    dup_bigram = _ratio(F.col("occ2") - F.col("dis2"), F.col("occ2"))
+    dup_5gram = _ratio(F.col("occ5") - F.col("dis5"), F.col("occ5"))
+    return agg.select(
+        F.col(id_col),
+        ttr.alias("ttr"),
+        top_bigram.alias("top_bigram_frac"),
+        dup_bigram.alias("dup_bigram_frac"),
+        dup_5gram.alias("dup_5gram_frac"),
+        (
+            (top_bigram <= F.lit(REP_MAX_TOP_BIGRAM))
+            & (dup_5gram <= F.lit(REP_MAX_DUP_5GRAM))
+            & (ttr >= F.lit(REP_MIN_TTR))
+        ).alias("rep_keep"),
+    )
+
+
 def _gram_hash(gram: Column) -> Column:
     """Deterministic 60-bit integer hash of a k-gram, identical in Spark and
     DuckDB: first 15 hex chars of md5, parsed base-16."""

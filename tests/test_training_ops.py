@@ -77,6 +77,52 @@ def test_winnow_fingerprint_overlap(spark):
     assert j13 == 0.0
 
 
+def test_repetition_filters(spark):
+    """Planted repetition: a looped generation is flagged, clean prose kept."""
+    from email_address_parser_spark.functions.text_analysis import with_repetition
+
+    clean = "the quick brown fox jumps over one lazy dog and runs far away home tonight"
+    looped = "buy now " * 30  # one bigram dominates; 5-grams all duplicated
+    tiny = "one two"  # shorter than a 5-gram: dup_5gram_frac defined as 0
+    df = spark.createDataFrame(
+        [Row(doc_id=1, text=clean), Row(doc_id=2, text=looped), Row(doc_id=3, text=tiny)]
+    )
+    rows = {r.doc_id: r for r in with_repetition(df).collect()}
+    assert rows[1].rep_keep and rows[1].dup_5gram_frac == 0.0 and rows[1].ttr == 1.0
+    assert not rows[2].rep_keep
+    assert rows[2].top_bigram_frac > 0.4  # "buy now"/"now buy" dominate
+    assert rows[2].dup_5gram_frac > 0.9
+    assert rows[2].ttr < 0.1  # 2 distinct words / 60 tokens
+    assert rows[3].dup_5gram_frac == 0.0 and rows[3].dup_bigram_frac == 0.0
+
+
+def test_tfidf_topk_ranks_rare_terms(spark):
+    """A term unique to one doc outscores corpus-wide stopwords; top-k is
+    deterministic under the (score DESC, term ASC) tie-break."""
+    from email_address_parser_spark.operators.ranking import tfidf_topk
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the shared words here plus zyzzyva zyzzyva"),
+            Row(doc_id=2, text="the shared words here plus aardvark"),
+            Row(doc_id=3, text="the shared words here plus nothing"),
+        ]
+    )
+    out = tfidf_topk(df, k=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for d in (1, 2, 3):
+        ranks = [r.rank for r in sorted(by_doc[d], key=lambda r: r.rank)]
+        assert ranks == [1, 2, 3]
+    # the doc-unique term wins rank 1 (tf=2 for zyzzyva strengthens it)
+    top1 = {d: min(rs, key=lambda r: r.rank).term for d, rs in by_doc.items()}
+    assert top1[1] == "zyzzyva" and top1[2] == "aardvark" and top1[3] == "nothing"
+    # scores of the shared terms are identical across docs (same tf, same df)
+    shared = {(r.doc_id, r.term): r.score for r in out if r.term == "plus"}
+    assert len(set(shared.values())) <= 1
+
+
 # ---------------------------------------------------------------------------
 # dedup
 # ---------------------------------------------------------------------------
