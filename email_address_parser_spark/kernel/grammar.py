@@ -73,9 +73,32 @@ QUOTED_PAIR = "\\\\[\\x00-\\x7F]"
 # a deterministic single-token-lookahead form. We use that form everywhere: same
 # accepted language, linear-time matching.
 
-_FWS_TAIL = r"(?:[ \t]|\r\n[ \t])*"          # deterministic: branch chosen by next char
+# Deterministic form AND possessive repetition (Python 3.11+; see the probe
+# below, shared with deep_patterns). Determinism alone keeps each closure's
+# own match linear, but a backtracking engine still re-enters the closure
+# token-by-token when the FOLLOWING production fails — adjacent closures
+# (FWS_STAR then WORD's CFWS_STAR in obs-local-part) then recheck the same
+# WSP run from every split point, which is O(n^2) on adversarial candidates
+# like '<5k spaces>@<5k spaces>' in lax mode. Maximal munch is language-safe
+# at EVERY junction in this grammar: everything that can follow a WSP run
+# (atext, qtext, dtext, ctext, '\\' of a quoted-pair, '(', ')', '"', '[',
+# ']', '.', '@', '-') excludes WSP, and the \r\n[ \t] token only consumes a
+# CRLF that is whitespace-folding by definition — so no follower ever needs
+# a character the closure gave up. Possessive quantifiers therefore preserve
+# the accepted language and make failure linear. On < 3.11 they degrade to
+# plain greedy (same language, slower worst case) — same policy as
+# deep_patterns below.
+try:  # possessive quantifiers require Python >= 3.11
+    re.compile("a*+")
+    _PSTAR = "*+"
+    _POPT = "?+"
+except re.error:  # pragma: no cover — container runs 3.11
+    _PSTAR = "*"
+    _POPT = "?"
+
+_FWS_TAIL = rf"(?:[ \t]|\r\n[ \t]){_PSTAR}"  # deterministic: branch chosen by next char
 FWS = r"(?:\r\n)?[ \t]" + _FWS_TAIL          # ≡ canonical FWS, unambiguous
-FWS_OPT = f"(?:{FWS})?"                      # ≡ (?:FWS)? ≡ (?:FWS)*
+FWS_OPT = f"(?:{FWS}){_POPT}"                # ≡ (?:FWS)? ≡ (?:FWS)*
 FWS_STAR = FWS_OPT
 
 # comment, with exactly one inner nesting level (corpus max depth is 2:
@@ -98,7 +121,10 @@ COMMENT = (
 # is any nonempty sequence of whitespace-runs and comments; CFWS_STAR below is its
 # reflexive closure in deterministic form (comments start '(', FWS starts WSP/CR).
 CFWS = f"(?:{FWS}|(?:(?:{FWS_OPT}{COMMENT})+{FWS_OPT}))"
-CFWS_STAR = f"{FWS_OPT}(?:{COMMENT}{FWS_OPT})*"   # ≡ (?:CFWS)* ≡ (?:CFWS)?
+# possessive comment loop: no follower of CFWS consumes '(' (see the
+# maximal-munch argument at the FWS definitions), so never re-splitting the
+# comment run preserves the language
+CFWS_STAR = f"{FWS_OPT}(?:{COMMENT}{FWS_OPT}){_PSTAR}"  # ≡ (?:CFWS)* ≡ (?:CFWS)?
 
 # --- dot-atom (strict) — nom_parser.rs:91-138 -----------------------------------
 
@@ -181,11 +207,7 @@ DOMAIN_LAX_RE = re.compile(DOMAIN_OBS)
 
 MAX_COMMENT_DEPTH = 128
 
-try:  # possessive quantifiers require Python >= 3.11
-    re.compile("a*+")
-    _PSTAR = "*+"
-except re.error:  # pragma: no cover — container runs 3.11
-    _PSTAR = "*"
+# _PSTAR probed once above (shared with the FWS/CFWS closures)
 
 
 def _comment_pattern(depth: int) -> str:
