@@ -177,6 +177,16 @@ def main() -> None:
 
         _force(queries()["doc_packing"](spark, sf_dir))
 
+    def q_repetition():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_repetition"](spark, sf_dir))
+
+    def q_tfidf():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_tfidf_topk"](spark, sf_dir))
+
     # the round-3/4 flagship incremental operators, driver-visible so a
     # regression in either fold shows up in BENCH_r{N}. The timed region is
     # the production steady state — read MoR state from parquet, fold the
@@ -266,6 +276,8 @@ def main() -> None:
         "doc_fingerprints": q_docs,
         "doc_splits": q_splits,
         "doc_packing": q_packing,
+        "doc_repetition": q_repetition,
+        "doc_tfidf_topk": q_tfidf,
         "er_incremental_fold": q_incr_fold,
         "dedup_keep_best_incr": q_dedup_incr,
     }
