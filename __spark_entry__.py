@@ -162,12 +162,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # as ann_topk_ivf certifies queries-on-folded-state == full re-index
         "ann_topk_ivf_incr": _ann_topk_ivf_incr,
         "emb_near_dup": _emb_near_dup,
+        # G30: SemDeDup-style semantic dedup — literal-quantizer cells,
+        # within-cell cosine, one-pass lowest-id keeper rule
+        "dedup_semantic": _dedup_semantic,
         # --- training-data pipeline: multimodal plumbing -------------------
         "mm_features": _mm_features,
         "mm_metadata": _mm_metadata,
         "mm_frames": _mm_frames,
         # --- training-data assembly (splits / packing / sketch / hygiene) --
         "doc_splits": _doc_splits,
+        # G31: deterministic weighted sampling without replacement (A-ES
+        # priorities from the same md5 uniform as doc_splits)
+        "doc_sample_weighted": _doc_sample_weighted,
         "doc_packing": _doc_packing,
         "doc_redact": _doc_redact,
         # benchmark decontamination: word-8-gram overlap of the train split
@@ -557,6 +563,25 @@ def _mm_frames(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.multimodal import sample_frames
 
     return sample_frames(_docs(spark, sf), stride=16)
+
+
+def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """G30 (operators/similarity.py): SemDeDup over the embeddings table —
+    coarse-quantizer cells (same literal quantizer as ann_topk_ivf), exact
+    cosine within a cell, drop rule = has a lower-id in-cell neighbor with
+    cosine ≥ 0.3. Threshold chosen for the synthetic embeddings' cosine
+    range (max pairwise ≈ 0.51) so the drop set is non-trivial at sf0.01."""
+    from email_address_parser_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf, "embeddings"), threshold=0.3, n_centroids=16
+    )
+
+
+def _doc_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    from email_address_parser_spark.operators.sampling import weighted_sample
+
+    return weighted_sample(_docs(spark, sf), "n_chars", n=100)
 
 
 def _doc_splits(spark: SparkSession, sf: str) -> DataFrame:
@@ -1191,6 +1216,10 @@ def oracle_sql() -> dict[str, str]:
                 'image/png' AS mime
             FROM documents""",
         "doc_splits": _oracles.doc_splits_oracle(),
+        "dedup_semantic": _oracles.dedup_semantic_oracle(
+            threshold=0.3, n_centroids=16
+        ),
+        "doc_sample_weighted": _oracles.doc_sample_weighted_oracle(n=100),
         "doc_packing": _oracles.doc_packing_oracle(budget=2048),
         "doc_redact": _redact_oracle(),
         "doc_decontam": _oracles.doc_decontam_oracle(),

@@ -187,6 +187,16 @@ def main() -> None:
 
         _force(queries()["doc_tfidf_topk"](spark, sf_dir))
 
+    def q_semantic():
+        from __spark_entry__ import queries
+
+        _force(queries()["dedup_semantic"](spark, sf_dir))
+
+    def q_wsample():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_sample_weighted"](spark, sf_dir))
+
     # the round-3/4 flagship incremental operators, driver-visible so a
     # regression in either fold shows up in BENCH_r{N}. The timed region is
     # the production steady state — read MoR state from parquet, fold the
@@ -278,6 +288,8 @@ def main() -> None:
         "doc_packing": q_packing,
         "doc_repetition": q_repetition,
         "doc_tfidf_topk": q_tfidf,
+        "dedup_semantic": q_semantic,
+        "doc_sample_weighted": q_wsample,
         "er_incremental_fold": q_incr_fold,
         "dedup_keep_best_incr": q_dedup_incr,
     }

@@ -174,3 +174,42 @@ def kmv_sketch(
         F.col("n_exact"),
         est.alias("kmv_estimate"),
     )
+
+
+def weighted_sample(
+    df: DataFrame,
+    weight_col: str,
+    n: int = 100,
+    key_col: str = "doc_id",
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement (Efraimidis &
+    Spirakis 2006 A-ES): each row draws priority u^(1/w) from its md5-based
+    uniform u and weight w; the n largest priorities are the sample — each
+    row's inclusion probability is proportional to its weight, with no RNG
+    state and no replacement bookkeeping.
+
+    → (key, weight, priority, rank) for the n selected rows. priority is
+    rounded to 9 decimals and ties break on the key, so the selection is a
+    pure function of (salt, key, weight): stable under re-partitioning and
+    exactly replayable in SQL (same md5 parse, same libm pow).
+
+    Scale shape: priority is a per-row expression (no shuffle); the top-n is
+    TakeOrderedAndProject — per-partition heap of n then a driver merge of
+    n·P candidates, never a global sort. This is THE primitive for
+    quality-weighted corpus subsampling at 100 TB: w = quality score or
+    token count, n = token budget / mean doc tokens."""
+    w = F.greatest(F.col(weight_col).cast("double"), F.lit(1e-12))
+    u = _uniform_hash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string")))
+    pri = F.round(F.pow(u, F.lit(1.0) / w), 9)
+    ranked = (
+        df.select(
+            F.col(key_col),
+            F.col(weight_col).alias("weight"),
+            pri.alias("priority"),
+        )
+        .orderBy(F.desc("priority"), F.asc(key_col))
+        .limit(n)
+    )
+    rw = Window.orderBy(F.desc("priority"), F.asc(key_col))
+    return ranked.withColumn("rank", F.row_number().over(rw).cast("int"))

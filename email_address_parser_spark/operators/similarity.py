@@ -152,6 +152,101 @@ def _centroid_literals(embeddings: DataFrame, n_centroids: int, id_col: str, vec
     return F.array(*structs)
 
 
+def _cell_scores(carr: F.Column, vec: F.Column, norm: F.Column) -> F.Column:
+    """Per-row array of (rounded cosine, centroid id) against the literal
+    quantizer — a pure HOF expression, zero shuffle."""
+    return F.transform(
+        carr,
+        lambda ct: F.struct(
+            F.round(cosine(vec, ct["cvec"], norm, ct["cnorm"]), 6).alias("c"),
+            ct["cid"].alias("cid"),
+        ),
+    )
+
+
+def _best_cell(carr: F.Column, vec: F.Column, norm: F.Column) -> F.Column:
+    """Nearest-centroid id. Argmax via left fold: strict '>' keeps the FIRST
+    maximum, and the literal array is ordered by centroid id — ties resolve
+    to min cid, matching the oracle's (cosine DESC, cid ASC) row_number."""
+    init = F.struct(
+        F.lit(-2.0).cast("double").alias("c"), F.lit(-1).cast("long").alias("cid")
+    )
+    return F.aggregate(
+        _cell_scores(carr, vec, norm),
+        init,
+        lambda acc, s: F.when(s["c"] > acc["c"], s).otherwise(acc),
+    )["cid"]
+
+
+def semantic_dedup(
+    embeddings: DataFrame,
+    threshold: float = 0.3,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023, arXiv
+    2303.09540): cluster the corpus with a coarse quantizer, compare vectors
+    only WITHIN a cluster, and drop every vector that has a lower-id
+    in-cluster neighbor with cosine ≥ threshold (one-pass variant — the
+    keeper of a duplicate group is its minimum id; no iterative MIS).
+
+    → (vec_id, cell, keep, dup_of, dup_cos): dup_of is the LOWEST-id in-cell
+    neighbor above threshold (null ⇔ keep), dup_cos the 6-decimal cosine to
+    it.
+
+    Scale shape: the quantizer is a literal HOF (no shuffle between scan and
+    the cell equi-join, same as ivf_topk); the only shuffle is the self-join
+    on `cell`, whose cost is Σ|cell|² — bounded by the quantizer's cell
+    sizes exactly as in the SemDeDup paper (k chosen so |cell| ≈ corpus/k).
+    At 100 TB swap the deterministic lowest-id centroid sample for offline
+    k-means centroids; the plan is unchanged. The whole operator is exactly
+    replayable in SQL (6-decimal rounded assignment + pair cosines)."""
+    carr = _centroid_literals(embeddings, n_centroids, id_col, vec_col)
+    base = with_norm(embeddings.select(id_col, vec_col), vec_col)
+    assigned = base.withColumn(
+        "cell", _best_cell(carr, F.col(vec_col), F.col("_norm"))
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cos = F.round(
+        cosine(
+            F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}"),
+            F.col("a._norm"), F.col("b._norm"),
+        ),
+        6,
+    )
+    dup_pairs = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("_cand"),
+            F.col(f"b.{id_col}").alias("_vid"),
+            cos.alias("_cos"),
+        )
+        .where(F.col("_cos") >= F.lit(float(threshold)))
+    )
+    w = Window.partitionBy("_vid").orderBy(F.asc("_cand"))
+    best = (
+        dup_pairs.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .select("_vid", F.col("_cand").alias("dup_of"), F.col("_cos").alias("dup_cos"))
+    )
+    return (
+        assigned.select(id_col, "cell")
+        .join(best, F.col(id_col) == F.col("_vid"), "left")
+        .select(
+            id_col,
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+            "dup_cos",
+        )
+    )
+
+
 def ivf_topk(
     embeddings: DataFrame,
     query_ids: list,
@@ -180,25 +275,11 @@ def ivf_topk(
     base = with_norm(embeddings.select(id_col, vec_col), vec_col)
 
     def cell_scores(vec: F.Column, norm: F.Column) -> F.Column:
-        return F.transform(
-            carr,
-            lambda ct: F.struct(
-                F.round(cosine(vec, ct["cvec"], norm, ct["cnorm"]), 6).alias("c"),
-                ct["cid"].alias("cid"),
-            ),
-        )
+        return _cell_scores(carr, vec, norm)
 
-    # argmax via left fold: strict '>' keeps the FIRST maximum, and the
-    # literal array is ordered by centroid id — ties resolve to min cid
-    init = F.struct(
-        F.lit(-2.0).cast("double").alias("c"), F.lit(-1).cast("long").alias("cid")
+    assigned = base.withColumn(
+        "cell", _best_cell(carr, F.col(vec_col), F.col("_norm"))
     )
-    best_cell = F.aggregate(
-        cell_scores(F.col(vec_col), F.col("_norm")),
-        init,
-        lambda acc, s: F.when(s["c"] > acc["c"], s).otherwise(acc),
-    )["cid"]
-    assigned = base.withColumn("cell", best_cell)
 
     # query side: tiny (|query_ids| rows) — explode the per-cell scores and
     # rank to pick the n_probe nearest cells, same rounded-cosine ordering

@@ -559,3 +559,78 @@ SELECT doc_id, n_grams, n_shared,
     round(n_shared / CAST(greatest(n_grams, 1) AS DOUBLE), 6) AS contamination,
     round(n_shared / CAST(greatest(n_grams, 1) AS DOUBLE), 6) >= {threshold!r} AS contaminated
 FROM final"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_semantic (SemDeDup one-pass variant)
+# ---------------------------------------------------------------------------
+
+
+def dedup_semantic_oracle(threshold: float = 0.3, n_centroids: int = 16) -> str:
+    """Replays operators/similarity.semantic_dedup exactly: the same
+    lowest-id literal quantizer and 6-decimal rounded cell assignment as
+    ann_topk_ivf_oracle, then within-cell ordered pairs and the one-pass
+    drop rule (dup_of = lowest-id in-cell neighbor with cosine >= t)."""
+    return rf"""
+WITH {_ANN_NORM_CTE},
+cent AS (
+    SELECT vec_id AS cid, v AS cvec, nrm AS cnrm FROM n
+    ORDER BY vec_id LIMIT {n_centroids}
+),
+assign AS (
+    SELECT vec_id, cell FROM (
+        SELECT n.vec_id, c.cid AS cell,
+            row_number() OVER (PARTITION BY n.vec_id
+                ORDER BY {_cos('n.v', 'c.cvec', 'n.nrm', 'c.cnrm')} DESC, c.cid ASC) AS rn
+        FROM n CROSS JOIN cent c)
+    WHERE rn = 1
+),
+pairs AS (
+    SELECT a.vec_id AS cand, b.vec_id AS vid,
+        {_cos('na.v', 'nb.v', 'na.nrm', 'nb.nrm')} AS c
+    FROM assign a
+    JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    JOIN n na ON na.vec_id = a.vec_id
+    JOIN n nb ON nb.vec_id = b.vec_id
+),
+best AS (
+    SELECT vid, cand, c FROM (
+        SELECT vid, cand, c,
+            row_number() OVER (PARTITION BY vid ORDER BY cand ASC) AS rn
+        FROM pairs WHERE c >= {float(threshold)!r})
+    WHERE rn = 1
+)
+SELECT a.vec_id, a.cell, best.vid IS NULL AS keep,
+    best.cand AS dup_of, best.c AS dup_cos
+FROM assign a LEFT JOIN best ON a.vec_id = best.vid"""
+
+
+# ---------------------------------------------------------------------------
+# doc_sample_weighted (A-ES weighted sampling without replacement)
+# ---------------------------------------------------------------------------
+
+
+def doc_sample_weighted_oracle(
+    n: int = 100, weight_col: str = "n_chars", salt: str = "wsample"
+) -> str:
+    """Replays operators/sampling.weighted_sample: the same md5-derived
+    uniform as doc_splits_oracle, priority = round(pow(u, 1/w), 9), top-n by
+    (priority DESC, doc_id ASC)."""
+    h = _HEX8.format(arg=f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH raw AS (
+    SELECT doc_id, {weight_col} AS weight,
+        {h} / 4294967296.0 AS u
+    FROM documents
+),
+p AS (
+    SELECT doc_id, weight,
+        round(pow(u, 1.0 / greatest(CAST(weight AS DOUBLE), 1e-12)), 9) AS priority
+    FROM raw
+),
+r AS (
+    SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id ASC) AS rank
+    FROM p
+)
+SELECT doc_id, weight, priority, CAST(rank AS INT) AS rank
+FROM r WHERE rank <= {n}"""

@@ -382,3 +382,122 @@ def test_dedup_keep_best_clusters(spark):
     assert len(cluster1_kept) == 1
     best = max((1, 2, 3), key=lambda d: (out[d].quality_score, -d))
     assert cluster1_kept[0] == best
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup one-pass variant)
+# ---------------------------------------------------------------------------
+
+
+def _sem_corpus(spark):
+    """Two well-separated directions; vecs 0/1 are the (lowest-id) centroids,
+    one per direction; duplicates are planted AWAY from the centroid rows so
+    the cell equi-join is what finds them."""
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    d0 = rng.standard_normal(64)
+    d1 = rng.standard_normal(64)
+    d1 -= d0 * (d1 @ d0) / (d0 @ d0)  # orthogonalize
+    vecs = [
+        d0,                                     # 0: centroid of cell 0
+        d1,                                     # 1: centroid of cell 1
+        d0 + 0.6 * rng.standard_normal(64),     # 2
+        vec3 := d0 + 0.7 * rng.standard_normal(64),   # 3
+        vec3 + 0.01 * rng.standard_normal(64),  # 4: near-dup of 3, cell 0
+        d1 + 0.6 * rng.standard_normal(64),     # 5
+        d1 + 0.7 * rng.standard_normal(64),     # 6
+    ]
+    return spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float(x) for x in v]) for i, v in enumerate(vecs)]
+    )
+
+
+def test_semantic_dedup_drops_planted_duplicate(spark):
+    from email_address_parser_spark.operators.similarity import semantic_dedup
+
+    out = {r.vec_id: r for r in semantic_dedup(
+        _sem_corpus(spark), threshold=0.98, n_centroids=2
+    ).collect()}
+    assert len(out) == 7
+    # vec 4 is the planted near-identical copy of vec 3: same cell, dropped
+    assert out[3].keep and out[3].dup_of is None and out[3].dup_cos is None
+    assert not out[4].keep and out[4].dup_of == 3 and out[4].dup_cos > 0.99
+    # direction split survived the quantizer
+    assert out[3].cell == out[4].cell
+    assert out[2].cell != out[5].cell
+    # every drop points at a strictly lower id (one-pass keeper rule)
+    for r in out.values():
+        assert r.keep == (r.dup_of is None)
+        if r.dup_of is not None:
+            assert r.dup_of < r.vec_id
+
+
+def test_semantic_dedup_kept_set_is_conflict_free(spark):
+    """No two KEPT vectors in the same cell may be >= threshold apart —
+    otherwise the higher id would have had a lower-id neighbor."""
+    from email_address_parser_spark.operators.similarity import (
+        near_dup_pairs,
+        semantic_dedup,
+        with_norm,
+        _best_cell,
+        _centroid_literals,
+    )
+    from pyspark.sql import functions as F
+
+    corpus = _vec_corpus(spark)
+    tagged = semantic_dedup(corpus, threshold=0.6, n_centroids=2)
+    kept_ids = [r.vec_id for r in tagged.where("keep").collect()]
+    carr = _centroid_literals(corpus, 2, "vec_id", "embedding")
+    cells = with_norm(corpus, "embedding").withColumn(
+        "cell", _best_cell(carr, F.col("embedding"), F.col("_norm"))
+    ).select("vec_id", "embedding", "cell")
+    kept = cells.where(F.col("vec_id").isin(kept_ids))
+    conflicts = near_dup_pairs(kept, threshold=0.6, block_col="cell").collect()
+    assert conflicts == []
+
+
+def test_semantic_dedup_partition_invariant(spark):
+    from email_address_parser_spark.operators.similarity import semantic_dedup
+
+    corpus = _vec_corpus(spark)
+    a = sorted(map(tuple, semantic_dedup(corpus, 0.8, 2).collect()))
+    b = sorted(map(tuple, semantic_dedup(corpus.repartition(7), 0.8, 2).collect()))
+    assert a == b
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling (A-ES)
+# ---------------------------------------------------------------------------
+
+
+def test_weighted_sample_deterministic_and_ranked(spark):
+    from email_address_parser_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, w=(i % 10) + 1) for i in range(200)]
+    )
+    out = weighted_sample(docs, "w", n=25, key_col="doc_id").collect()
+    assert len(out) == 25
+    assert [r.rank for r in sorted(out, key=lambda r: r.rank)] == list(range(1, 26))
+    by_rank = sorted(out, key=lambda r: r.rank)
+    for i in range(len(by_rank) - 1):
+        assert (by_rank[i].priority, -by_rank[i].doc_id) >= (
+            by_rank[i + 1].priority, -by_rank[i + 1].doc_id,
+        )
+    # pure function of (salt, key, weight): identical under repartition
+    again = weighted_sample(docs.repartition(13), "w", n=25, key_col="doc_id").collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
+def test_weighted_sample_respects_weights(spark):
+    """With weights 1 vs 100 the heavy half must dominate the sample —
+    inclusion probability is proportional to weight (A-ES property)."""
+    from email_address_parser_spark.operators.sampling import weighted_sample
+
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, w=100 if i < 500 else 1) for i in range(1000)]
+    )
+    out = weighted_sample(docs, "w", n=100, key_col="doc_id").collect()
+    heavy = sum(1 for r in out if r.doc_id < 500)
+    assert heavy >= 90
