@@ -138,6 +138,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_customer_rollup": _region_customer_rollup,
         "orders_without_lineitem": _orders_without_lineitem,
         "events_daily": _events_daily,
+        # G32: gap-based sessionization (lag + running start-flag sum, one
+        # shuffle on the key) rolled up to session level
+        "events_sessions": _events_sessions,
+        # G33: as-of join — latest at-or-before click for every purchase,
+        # per user, via the union-and-fill window encoding (no range join)
+        "events_last_touch": _events_last_touch,
         # --- training-data pipeline: text analysis (documents) -------------
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
@@ -174,6 +180,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G31: deterministic weighted sampling without replacement (A-ES
         # priorities from the same md5 uniform as doc_splits)
         "doc_sample_weighted": _doc_sample_weighted,
+        # G34: fixed-n-per-stratum deterministic sampling (WindowGroupLimit
+        # heap per stratum, same md5 uniform family as doc_splits)
+        "doc_sample_stratified": _doc_sample_stratified,
         "doc_packing": _doc_packing,
         "doc_redact": _doc_redact,
         # benchmark decontamination: word-8-gram overlap of the train split
@@ -766,6 +775,56 @@ def _events_daily(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """G32 (operators/sessions.py): gap-based sessionization of the events
+    table per user (gap = 12 h, chosen so the synthetic ~2 events/user/day
+    stream yields real multi-event sessions), rolled up to one row per
+    session. All timestamp math in integer microseconds so the oracle
+    replays it bit-exactly."""
+    from email_address_parser_spark.operators.sessions import session_stats
+
+    return session_stats(load_table(spark, sf, "events"), gap_s=12 * 3600)
+
+
+def _events_last_touch(spark: SparkSession, sf: str) -> DataFrame:
+    """G33 (operators/asof.py): for every purchase event, the user's most
+    recent click at or before it — last-touch attribution via the
+    union-and-fill as-of join (one shuffle, no range-join blow-up)."""
+    from email_address_parser_spark.operators.asof import asof_join
+
+    ev = load_table(spark, sf, "events")
+    out = asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+        on="user_id",
+        ts_col="ts",
+        right_id="event_id",
+        value_cols=("event_id", "ts"),
+    )
+    from email_address_parser_spark.operators.sessions import _ts_micros
+
+    ts_us = _ts_micros(F.col("ts"))
+    asof_us = _ts_micros(F.col("asof_ts"))
+    return out.select(
+        "event_id",
+        "user_id",
+        ts_us.alias("ts_us"),
+        F.col("asof_event_id"),
+        asof_us.alias("asof_ts_us"),
+        F.round((ts_us - asof_us) / F.lit(1e6), 6).alias("gap_s"),
+    )
+
+
+def _doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """G34 (operators/sampling.py): exactly 10 docs from each of the 20
+    sources, deterministic md5 draw, per-stratum heap (WindowGroupLimit)."""
+    from email_address_parser_spark.operators.sampling import stratified_sample
+
+    return stratified_sample(
+        _docs(spark, sf), strata_col="source", n_per_stratum=10
+    )
+
+
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -985,6 +1044,10 @@ def oracle_sql() -> dict[str, str]:
                 CAST(count(*) AS BIGINT) AS n_events,
                 CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
             FROM events GROUP BY event_type, strftime(ts, '%Y-%m-%d')""",
+        "events_sessions": _oracles.events_sessions_oracle(gap_s=12 * 3600),
+        "events_last_touch": _oracles.events_last_touch_oracle(
+            left_type="purchase", right_type="click"
+        ),
         # --- training-data pipeline oracles --------------------------------
         "doc_token_counts": r"""
             SELECT doc_id,
@@ -1220,6 +1283,9 @@ def oracle_sql() -> dict[str, str]:
             threshold=0.3, n_centroids=16
         ),
         "doc_sample_weighted": _oracles.doc_sample_weighted_oracle(n=100),
+        "doc_sample_stratified": _oracles.doc_sample_stratified_oracle(
+            n_per_stratum=10
+        ),
         "doc_packing": _oracles.doc_packing_oracle(budget=2048),
         "doc_redact": _redact_oracle(),
         "doc_decontam": _oracles.doc_decontam_oracle(),

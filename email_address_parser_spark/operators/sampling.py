@@ -213,3 +213,40 @@ def weighted_sample(
     )
     rw = Window.orderBy(F.desc("priority"), F.asc(key_col))
     return ranked.withColumn("rank", F.row_number().over(rw).cast("int"))
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str = "source",
+    n_per_stratum: int = 50,
+    key_col: str = "doc_id",
+    salt: str = "strat",
+) -> DataFrame:
+    """Deterministic fixed-n-per-stratum sampling (G34): each row draws the
+    same md5 uniform as split_assign; the n smallest draws per stratum are
+    the sample. → (key, stratum, u, stratum_rank) for selected rows only.
+
+    This is the corpus-curation primitive "take exactly n docs from every
+    source/language/domain" — unlike per-stratum fractions it guarantees the
+    output size, and unlike weighted_sample it balances strata instead of
+    rows. Selection is a pure function of (salt, key): re-partitioning or
+    re-running cannot move a row in or out.
+
+    Scale shape: one shuffle on the stratum column, then a rank window
+    in-partition; Spark rewrites rank-then-filter into WindowGroupLimit, so
+    each task keeps a per-stratum top-n heap instead of sorting whole
+    strata. A hot stratum is a single partition's worth of heap, not a
+    global sort."""
+    u = F.round(
+        _uniform_hash(F.concat(F.lit(salt + ":"), F.col(key_col).cast("string"))), 9
+    )
+    w = Window.partitionBy("stratum").orderBy(F.asc("u"), F.asc(key_col))
+    return (
+        df.select(
+            F.col(key_col),
+            F.col(strata_col).alias("stratum"),
+            u.alias("u"),
+        )
+        .withColumn("stratum_rank", F.row_number().over(w).cast("int"))
+        .where(F.col("stratum_rank") <= F.lit(int(n_per_stratum)))
+    )

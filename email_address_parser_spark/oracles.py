@@ -634,3 +634,108 @@ r AS (
 )
 SELECT doc_id, weight, priority, CAST(rank AS INT) AS rank
 FROM r WHERE rank <= {n}"""
+
+
+# ---------------------------------------------------------------------------
+# events_sessions (gap-based sessionization rollup)
+# ---------------------------------------------------------------------------
+
+
+def events_sessions_oracle(gap_s: float = 12 * 3600) -> str:
+    """Replays operators/sessions.session_stats: integer-microsecond gap
+    test via lag, running sum of start flags, session-level rollup. All
+    comparisons are on epoch_us longs — bit-exact vs unix_micros."""
+    gap_us = int(round(float(gap_s) * 1_000_000))
+    return rf"""
+WITH e AS (
+    SELECT user_id, event_id, value, epoch_us(ts) AS ts_us,
+        lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts ASC, event_id ASC) AS prev_us
+    FROM events
+),
+flagged AS (
+    SELECT *, CAST(prev_us IS NULL OR (ts_us - prev_us) > {gap_us} AS INT) AS is_start
+    FROM e
+),
+numbered AS (
+    SELECT *, CAST(sum(is_start) OVER (PARTITION BY user_id
+        ORDER BY ts_us ASC, event_id ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT) AS session_idx
+    FROM flagged
+)
+SELECT user_id, session_idx,
+    CAST(user_id AS VARCHAR) || ':' || CAST(session_idx AS VARCHAR) AS session_id,
+    count(*) AS n_events,
+    min(ts_us) AS start_us,
+    max(ts_us) AS end_us,
+    CAST(sum(CAST(round(value * 1e4) AS BIGINT)) AS BIGINT) AS sum_value_e4,
+    round((max(ts_us) - min(ts_us)) / 1e6, 6) AS duration_s
+FROM numbered
+GROUP BY user_id, session_idx"""
+
+
+# ---------------------------------------------------------------------------
+# events_last_touch (as-of join: purchase <- latest at-or-before click)
+# ---------------------------------------------------------------------------
+
+
+def events_last_touch_oracle(
+    left_type: str = "purchase", right_type: str = "click"
+) -> str:
+    """Replays operators/asof.asof_join exactly: union both sides tagged
+    (right=0 sorts before left=1 at equal ts; right ties resolve to the
+    greatest event_id), carry the right columns forward with
+    last_value IGNORE NULLS over a running ROWS frame."""
+    return rf"""
+WITH u AS (
+    SELECT user_id AS k, epoch_us(ts) AS ts_us, 0 AS tag,
+        CAST(event_id AS BIGINT) AS rid,
+        event_id AS v_event_id, epoch_us(ts) AS v_ts_us,
+        NULL::BIGINT AS l_event_id, NULL::TIMESTAMP AS l_ts
+    FROM events WHERE event_type = '{right_type}'
+    UNION ALL
+    SELECT user_id AS k, epoch_us(ts) AS ts_us, 1 AS tag,
+        NULL::BIGINT AS rid,
+        NULL::BIGINT AS v_event_id, NULL::BIGINT AS v_ts_us,
+        event_id AS l_event_id, ts AS l_ts
+    FROM events WHERE event_type = '{left_type}'
+),
+filled AS (
+    SELECT *,
+        last_value(v_event_id IGNORE NULLS) OVER w AS f_event_id,
+        last_value(v_ts_us IGNORE NULLS) OVER w AS f_ts_us
+    FROM u
+    WINDOW w AS (PARTITION BY k ORDER BY ts_us ASC, tag ASC, rid ASC NULLS FIRST
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT l_event_id AS event_id, k AS user_id, ts_us,
+    f_event_id AS asof_event_id, f_ts_us AS asof_ts_us,
+    round((ts_us - f_ts_us) / 1e6, 6) AS gap_s
+FROM filled WHERE tag = 1"""
+
+
+# ---------------------------------------------------------------------------
+# doc_sample_stratified (fixed-n-per-stratum deterministic sampling)
+# ---------------------------------------------------------------------------
+
+
+def doc_sample_stratified_oracle(
+    n_per_stratum: int = 50,
+    strata_col: str = "source",
+    salt: str = "strat",
+) -> str:
+    """Replays operators/sampling.stratified_sample: same md5 uniform,
+    n smallest draws per stratum, rank ties on doc_id."""
+    h = _HEX8.format(arg=f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH raw AS (
+    SELECT doc_id, {strata_col} AS stratum,
+        round({h} / 4294967296.0, 9) AS u
+    FROM documents
+),
+r AS (
+    SELECT *, CAST(row_number() OVER (PARTITION BY stratum
+        ORDER BY u ASC, doc_id ASC) AS INT) AS stratum_rank
+    FROM raw
+)
+SELECT doc_id, stratum, u, stratum_rank
+FROM r WHERE stratum_rank <= {int(n_per_stratum)}"""

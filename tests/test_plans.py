@@ -177,3 +177,50 @@ def test_candidate_pairs_no_dedup_above_union(spark):
         ), f"dedup/shuffle above the channel Union:\n{plan}"
     else:
         raise AssertionError(f"no Union in candidate_pairs plan:\n{plan}")
+
+
+def test_sessionize_and_rollup_share_one_exchange(spark):
+    """session_stats must plan exactly ONE hashpartitioning exchange: the
+    lag window, the running-sum window, and the session-level groupBy all
+    key on user_id, so Catalyst must reuse the same partitioning for all
+    three (a second exchange means the rollup lost the co-partitioning)."""
+    from email_address_parser_spark.operators.sessions import session_stats
+    from email_address_parser_spark.plans import count_exchanges
+    from email_address_parser_spark.sources.testdata import load_table
+
+    df = session_stats(load_table(spark, SF_DIR, "events"), gap_s=3600)
+    assert count_exchanges(df) == 1
+
+
+def test_asof_join_single_exchange_no_range_join(spark):
+    """The union-and-fill as-of join must be one shuffle on the key and one
+    in-partition sort — never a join operator (the naive range-join
+    encoding is quadratic per key)."""
+    from pyspark.sql import functions as F
+
+    from email_address_parser_spark.operators.asof import asof_join
+    from email_address_parser_spark.plans import count_exchanges, explain_str
+    from email_address_parser_spark.sources.testdata import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    df = asof_join(
+        ev.where(F.col("event_type") == "purchase"),
+        ev.where(F.col("event_type") == "click"),
+    )
+    assert count_exchanges(df) == 1
+    plan = explain_str(df, "simple")
+    assert "Join" not in plan, plan
+
+
+def test_stratified_sample_plans_window_group_limit(spark):
+    """rank-then-filter per stratum must become WindowGroupLimit (a
+    per-stratum top-n heap), not a full per-stratum sort + filter."""
+    from email_address_parser_spark.operators.sampling import stratified_sample
+    from email_address_parser_spark.plans import executed_plan
+    from email_address_parser_spark.sources.testdata import load_table
+
+    df = stratified_sample(
+        load_table(spark, SF_DIR, "documents"), "source", n_per_stratum=5
+    )
+    df.write.format("noop").mode("overwrite").save()
+    assert "WindowGroupLimit" in executed_plan(df)
