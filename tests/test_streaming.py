@@ -275,3 +275,51 @@ def test_streaming_dedup_maintenance_matches_batch(spark, tmp_path):
         for r in dedup_keep_best(docs, use_lsh=True, **kw).collect()
     }
     assert got == want
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """G32 streaming twin: built-in session_window + watermark must produce
+    the same sessions (key, start, last-event ts, count, value sum) as the
+    batch sessionize/session_stats rollup on the same events."""
+    from email_address_parser_spark.operators.sessions import session_stats
+    from email_address_parser_spark.streaming.extract_stream import run_once_to_memory
+    from email_address_parser_spark.streaming.sessions_stream import streaming_sessions
+
+    ts0 = datetime.datetime(2024, 1, 1, 0, 0, 0)
+    rows = []
+    eid = 0
+    # user 1: two sessions (events 10 min apart, then a 3 h hole);
+    # user 2: one long session crossing what would be user 1's hole
+    for u, offsets_min in ((1, (0, 10, 20, 200, 215)), (2, (5, 45, 90, 130))):
+        for m in offsets_min:
+            rows.append(Row(event_id=eid, user_id=u,
+                            ts=ts0 + datetime.timedelta(minutes=m), value=1.5))
+            eid += 1
+    df = spark.createDataFrame(rows)
+    src = f"{tmp_path}/events_in"
+    df.where("user_id = 1").coalesce(1).write.mode("overwrite").parquet(src)
+    df.where("user_id = 2").coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(df.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    out = streaming_sessions(stream, gap="1 hour", watermark="2 hours")
+    run_once_to_memory(out, "sessions_stream", output_mode="complete")
+    got = {
+        (r.user_id, r.session_start, r.session_last_ts, r.n_events, r.sum_value_e4)
+        for r in spark.sql("SELECT * FROM sessions_stream").collect()
+    }
+
+    batch = session_stats(df, gap_s=3600).collect()
+    want = {
+        (
+            r.user_id,
+            datetime.datetime.utcfromtimestamp(r.start_us / 1e6),
+            datetime.datetime.utcfromtimestamp(r.end_us / 1e6),
+            r.n_events,
+            r.sum_value_e4,
+        )
+        for r in batch
+    }
+    assert got == want
+    assert len(got) == 3
