@@ -581,9 +581,10 @@ def _dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
     cosine ≥ 0.3. Threshold chosen for the synthetic embeddings' cosine
     range (max pairwise ≈ 0.51) so the drop set is non-trivial at sf0.01."""
     from email_address_parser_spark.operators.similarity import semantic_dedup
+    from email_address_parser_spark.sources.testdata import load_embeddings
 
     return semantic_dedup(
-        load_table(spark, sf, "embeddings"), threshold=0.3, n_centroids=16
+        load_embeddings(spark, sf), threshold=0.3, n_centroids=16
     )
 
 

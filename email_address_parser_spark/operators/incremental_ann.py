@@ -44,9 +44,10 @@ def _literals_from_rows(rows) -> F.Column:
     structs = [
         F.struct(
             F.lit(int(r["cid"])).cast("long").alias("cid"),
-            F.array(*[F.lit(float(x)).cast("double") for x in r["cvec"]]).alias(
-                "cvec"
-            ),
+            # array literal in ONE py4j call, not one per element (an
+            # element-wise loop is n_centroids x dim driver round-trips —
+            # seconds of pure overhead; see similarity._centroid_literals)
+            F.lit([float(x) for x in r["cvec"]]).cast("array<double>").alias("cvec"),
             F.lit(float(r["cnorm"])).cast("double").alias("cnorm"),
         )
         for r in sorted(rows, key=lambda r: int(r["cid"]))

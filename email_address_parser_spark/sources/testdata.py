@@ -52,6 +52,19 @@ def load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+def load_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings table, redistributed exactly like load_documents: the
+    sandbox file is one row group = one scan partition, which serializes
+    per-vector CPU work (the within-cell pair cosines of semantic_dedup run
+    ~1.5M 64-dim HOF dot products — on one core that is the whole query).
+    Result-set neutral; a real multi-file corpus skips the branch."""
+    df = load_table(spark, sf_dir, "embeddings")
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        df = df.repartition(target, "vec_id")
+    return df
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=TABLES) -> None:
     for name in tables:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
