@@ -144,6 +144,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G33: as-of join — latest at-or-before click for every purchase,
         # per user, via the union-and-fill window encoding (no range join)
         "events_last_touch": _events_last_touch,
+        # G35: trailing event-time RANGE-frame aggregates (velocity features)
+        "events_rolling": _events_rolling,
+        # exact per-group quantiles (sort-based percentile; the scale path
+        # is approx_percentile, documented in the query docstring)
+        "events_quantiles": _events_quantiles,
+        # pivot: per-day event-type count matrix (explicit pivot values, so
+        # no extra distinct-discovery job)
+        "events_pivot": _events_pivot,
         # --- training-data pipeline: text analysis (documents) -------------
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
@@ -816,6 +824,50 @@ def _events_last_touch(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_rolling(spark: SparkSession, sf: str) -> DataFrame:
+    """G35 (operators/rolling.py): per event, count + value sum over the
+    user's trailing 7 days — RANGE frame on epoch_us, one shuffle."""
+    from email_address_parser_spark.operators.rolling import rolling_agg
+
+    return rolling_agg(load_table(spark, sf, "events"), window_s=7 * 86400).select(
+        "event_id", "user_id", "ts_us", "n_trailing", "sum_value_e4_trailing"
+    )
+
+
+def _events_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-event-type value quantiles (linear-interpolation
+    percentile, the SQL-standard definition both engines share). Exact
+    percentile is a per-group sort — fine for a bounded group count; at
+    100 TB swap F.percentile for F.approx_percentile (t-digest, mergeable,
+    no sort) and accept the documented error bound."""
+    ev = load_table(spark, sf, "events")
+    pct = F.percentile(F.col("value"), F.lit([0.5, 0.9, 0.99]))
+    return ev.groupBy("event_type").agg(
+        F.round(pct[0], 6).alias("p50"),
+        F.round(pct[1], 6).alias("p90"),
+        F.round(pct[2], 6).alias("p99"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+_PIVOT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+def _events_pivot(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot: per-day event-type count matrix. Values are listed explicitly
+    so Catalyst skips the distinct-discovery job and plans ONE aggregation
+    (pivot_first), not a shuffle per column."""
+    ev = load_table(spark, sf, "events")
+    out = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", list(_PIVOT_TYPES))
+        .count()
+    )
+    return out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _PIVOT_TYPES]
+    )
+
+
 def _doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """G34 (operators/sampling.py): exactly 10 docs from each of the 20
     sources, deterministic md5 draw, per-stratum heap (WindowGroupLimit)."""
@@ -1049,6 +1101,22 @@ def oracle_sql() -> dict[str, str]:
         "events_last_touch": _oracles.events_last_touch_oracle(
             left_type="purchase", right_type="click"
         ),
+        "events_rolling": _oracles.events_rolling_oracle(window_s=7 * 86400),
+        "events_quantiles": """
+            SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                round(quantile_cont(value, 0.99), 6) AS p99,
+                CAST(count(*) AS BIGINT) AS n
+            FROM events GROUP BY event_type""",
+        "events_pivot": """
+            SELECT strftime(ts, '%Y-%m-%d') AS day,
+                CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS n_click,
+                CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS n_error,
+                CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS n_purchase,
+                CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS n_signup,
+                CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS n_view
+            FROM events GROUP BY 1""",
         # --- training-data pipeline oracles --------------------------------
         "doc_token_counts": r"""
             SELECT doc_id,

@@ -739,3 +739,21 @@ r AS (
 )
 SELECT doc_id, stratum, u, stratum_rank
 FROM r WHERE stratum_rank <= {int(n_per_stratum)}"""
+
+
+# ---------------------------------------------------------------------------
+# events_rolling (trailing event-time RANGE window)
+# ---------------------------------------------------------------------------
+
+
+def events_rolling_oracle(window_s: float = 7 * 86400) -> str:
+    """Replays operators/rolling.rolling_agg: the same RANGE frame over
+    epoch_us longs (SQL-standard peer handling on both engines)."""
+    window_us = int(round(float(window_s) * 1_000_000))
+    return rf"""
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+    count(*) OVER w AS n_trailing,
+    CAST(sum(CAST(round(value * 1e4) AS BIGINT)) OVER w AS BIGINT) AS sum_value_e4_trailing
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+    RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)"""

@@ -184,3 +184,39 @@ def test_stratified_sample_deterministic(spark):
         map(tuple, stratified_sample(docs, "source", 5, salt="other").collect())
     )
     assert a != c
+
+
+# ---------------------------------------------------------------------------
+# rolling_agg
+# ---------------------------------------------------------------------------
+
+
+def test_rolling_window_inclusive_bounds_and_peers(spark):
+    from email_address_parser_spark.operators.rolling import rolling_agg
+
+    rows = [
+        (1, _ts(0, 0, 0), 1.0),    # 0
+        (1, _ts(0, 0, 10), 2.0),   # 1: 10s later
+        (1, _ts(0, 0, 20), 4.0),   # 2: frame [10s,20s] -> excludes event 0
+        (1, _ts(0, 0, 20), 8.0),   # 3: same-ts peer of 2 -> counted BOTH ways
+        (2, _ts(0, 0, 20), 16.0),  # 4: other key
+    ]
+    out = {
+        r.event_id: r
+        for r in rolling_agg(_events(spark, rows), window_s=10).collect()
+    }
+    assert [out[i].n_trailing for i in range(5)] == [1, 2, 3, 3, 1]
+    # frame is inclusive both ends: event 1 at exactly -10s still in frame
+    assert out[1].sum_value_e4_trailing == 10000 + 20000
+    # RANGE peers: events 2 and 3 see identical frames including each other
+    assert out[2].sum_value_e4_trailing == out[3].sum_value_e4_trailing == 140000
+    assert out[4].sum_value_e4_trailing == 160000
+
+
+def test_rolling_single_exchange(spark):
+    from email_address_parser_spark.operators.rolling import rolling_agg
+    from email_address_parser_spark.plans import count_exchanges
+    from email_address_parser_spark.sources.testdata import load_table
+
+    df = rolling_agg(load_table(spark, "/root/testdata/sf0.001", "events"))
+    assert count_exchanges(df) == 1
