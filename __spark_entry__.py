@@ -152,6 +152,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pivot: per-day event-type count matrix (explicit pivot values, so
         # no extra distinct-discovery job)
         "events_pivot": _events_pivot,
+        # semi-structured: schema-on-read JSON extraction from the props
+        # column (from_json with an explicit schema — JVM-side, no UDF)
+        "events_props_stats": _events_props_stats,
         # --- training-data pipeline: text analysis (documents) -------------
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
@@ -868,6 +871,24 @@ def _events_pivot(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_props_stats(spark: SparkSession, sf: str) -> DataFrame:
+    """Schema-on-read over the semi-structured `props` JSON column:
+    `from_json` with an explicit schema stays JVM-side (a Jackson parse per
+    row inside codegen — no Python), and at 100 TB the explicit schema is
+    what lets the parser skip unused keys. Rollup: count + value cents per
+    extracted k."""
+    ev = load_table(spark, sf, "events")
+    k = F.from_json(F.col("props"), "k INT")["k"]
+    return (
+        ev.select(k.alias("k"), "value")
+        .groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            _sum_cents(F.col("value")).alias("sum_value_e4"),
+        )
+    )
+
+
 def _doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     """G34 (operators/sampling.py): exactly 10 docs from each of the 20
     sources, deterministic md5 draw, per-stratum heap (WindowGroupLimit)."""
@@ -1102,6 +1123,11 @@ def oracle_sql() -> dict[str, str]:
             left_type="purchase", right_type="click"
         ),
         "events_rolling": _oracles.events_rolling_oracle(window_s=7 * 86400),
+        "events_props_stats": """
+            SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+                CAST(count(*) AS BIGINT) AS n_events,
+                CAST(sum(CAST(floor(value * 10000) AS BIGINT)) AS BIGINT) AS sum_value_e4
+            FROM events GROUP BY 1""",
         "events_quantiles": """
             SELECT event_type,
                 round(quantile_cont(value, 0.5), 6) AS p50,

@@ -254,6 +254,33 @@ def compact_state(
     )
 
 
+def compact_if_needed(
+    spark: SparkSession,
+    state_dir: str,
+    every_k_epochs: int = 8,
+    tables=STATE_TABLES,
+    merge_keys: Dict[str, list] = None,
+    bucket_keys: Dict[str, list] = STATE_BUCKET_KEYS,
+) -> bool:
+    """Compaction POLICY around compact_state: rewrite the base once
+    `every_k_epochs` folds have appended since the last base (the epoch
+    counter IS folds-since-compaction — overwrite resets it to 0). → True
+    iff a compaction ran.
+
+    The cadence knob is measured, not guessed (`bench_mor_compaction.py` /
+    BENCH/BASELINE.md): read amplification is a flat step as soon as ANY
+    delta exists and does not grow 2→8 epochs at sandbox scale, so the
+    policy amortizes the O(corpus) rewrite to O(corpus/K) per fold without
+    a mid-ladder cliff to dodge. Call it after each fold's commit — e.g.
+    from the foreachBatch in streaming_cluster_maintenance."""
+    if _read_epoch(state_dir) < int(every_k_epochs):
+        return False
+    compact_state(
+        spark, state_dir, tables=tables, merge_keys=merge_keys, bucket_keys=bucket_keys
+    )
+    return True
+
+
 def bootstrap_state(
     spark: SparkSession,
     transcripts: DataFrame,

@@ -226,3 +226,44 @@ def test_ivf_state_partitioned_by_cell(spark, tmp_path):
     )
     want = ivf_topk_from_state(out["state"], queries, k=5, n_probe=2)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_compact_if_needed_cadence(spark, corpus, tmp_path):
+    """The policy wrapper fires exactly on the K-th append epoch, resets the
+    epoch counter to 0 (a fresh base), and the resolved state it rewrites is
+    row-identical to the pre-compaction resolved view."""
+    from email_address_parser_spark.streaming.incremental_stream import (
+        compact_if_needed,
+    )
+
+    prev_t, new_t = corpus
+    state_dir = str(tmp_path / "state")
+    write_state_mor(
+        build_incremental_state(spark, prev_t, **FOLD_KW),
+        state_dir,
+        mode="overwrite",
+    )
+    assert _read_epoch(state_dir) == 0
+    assert compact_if_needed(spark, state_dir, every_k_epochs=2) is False
+
+    halves = [
+        new_t.where(F.pmod(F.xxhash64("turn_idx"), F.lit(2)) == i) for i in (0, 1)
+    ]
+    for batch in halves:
+        out = fold_batch(spark, batch, read_state(spark, state_dir), **FOLD_KW)
+        write_state_mor(out["updates"], state_dir, mode="append")
+    assert _read_epoch(state_dir) == 2
+
+    before = {
+        t: sorted(map(tuple, read_state(spark, state_dir)[t].collect()))
+        for t in ("reps", "clusters")
+    }
+    assert compact_if_needed(spark, state_dir, every_k_epochs=2) is True
+    assert _read_epoch(state_dir) == 0
+    after = {
+        t: sorted(map(tuple, read_state(spark, state_dir)[t].collect()))
+        for t in ("reps", "clusters")
+    }
+    assert before == after
+    # freshly compacted: the policy is quiet again
+    assert compact_if_needed(spark, state_dir, every_k_epochs=2) is False
