@@ -301,6 +301,7 @@ def streaming_cluster_maintenance(
     transcript_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
+    compact_every: int = 0,
     **fold_kwargs,
 ):
     """writeStream query folding each transcript micro-batch into
@@ -312,12 +313,18 @@ def streaming_cluster_maintenance(
     are appended (merge-on-read, module docstring). Crash-replay stays
     exactly-once: a replayed batch's already-folded emails drain through the
     new-email anti-join, so its appended updates are value-identical rows at
-    a higher epoch — latest-wins resolution makes the replay a no-op."""
+    a higher epoch — latest-wins resolution makes the replay a no-op.
+
+    compact_every > 0 runs the measured compaction cadence inline: after a
+    fold commits, `compact_if_needed` rewrites the base once that many
+    epochs have accumulated (value-neutral — pinned by the cadence test)."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         out = fold_batch(spark, batch_df, read_state(spark, state_dir), **fold_kwargs)
         write_state_mor(out["updates"], state_dir)
+        if compact_every:
+            compact_if_needed(spark, state_dir, every_k_epochs=compact_every)
 
     return (
         transcript_stream.writeStream.foreachBatch(_fold)

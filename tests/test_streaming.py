@@ -190,10 +190,14 @@ def test_streaming_cluster_maintenance_matches_batch(spark, tmp_path):
     fold_kwargs = dict(hot_threshold=25, target_block_size=16)
     state_dir = f"{tmp_path}/state"
     bootstrap_state(spark, df.limit(0), state_dir, **fold_kwargs)
+    # compact_every=2: the 3 micro-batches cross the cadence once mid-stream,
+    # so the parity assertion below also pins that inline compaction is
+    # value-neutral for the resolved state
     q = streaming_cluster_maintenance(
         read_transcript_stream(spark, land, max_files_per_trigger=1),
         state_dir,
         f"{tmp_path}/ckpt",
+        compact_every=2,
         **fold_kwargs,
     )
     q.awaitTermination()
