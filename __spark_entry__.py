@@ -118,6 +118,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generative ground truth (match_key equality) — the BASELINE.json
         # acceptance metric as an oracle-checked driver query
         "er_match_f1": _er_match_f1,
+        # G40: survivorship — one golden record per cluster (counts +
+        # mention-weighted mode of domain_canon, ties lexicographic)
+        "er_golden_record": _er_golden_record,
         # batch-incremental cluster maintenance: fold the held-out 20% of
         # conversations into clusters built from the other 80%; the oracle is
         # the FULL-corpus clustering, so a triple-match proves the
@@ -155,6 +158,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # semi-structured: schema-on-read JSON extraction from the props
         # column (from_json with an explicit schema — JVM-side, no UDF)
         "events_props_stats": _events_props_stats,
+        # G38: ordered funnel (view -> click -> purchase), one min-aggregate
+        # per step, every stage hashed on the same key
+        "events_funnel": _events_funnel,
         # --- training-data pipeline: text analysis (documents) -------------
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
@@ -165,6 +171,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_repetition": _doc_repetition,
         # G29: TF-IDF top-terms per document (corpus DF dim broadcast)
         "doc_tfidf_topk": _doc_tfidf_topk,
+        # G39: corpus bigram collocations by PMI (phrase mining; two
+        # word-count aggs + vocabulary-sized broadcast dims)
+        "doc_collocations": _doc_collocations,
         # --- training-data pipeline: dedup ---------------------------------
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -899,6 +908,35 @@ def _doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """G38 (operators/funnel.py): ordered view→click→purchase funnel per
+    user — step k is the earliest event of its type strictly after step
+    k-1. All stages hash on user_id; micros-long timestamps."""
+    from email_address_parser_spark.operators.funnel import funnel
+
+    return funnel(load_table(spark, sf, "events"))
+
+
+def _doc_collocations(spark: SparkSession, sf: str) -> DataFrame:
+    """G39 (operators/ranking.py): global top-100 bigram collocations by
+    PMI with min_count=5 — word-count aggs + broadcast unigram dims."""
+    from email_address_parser_spark.operators.ranking import collocations_topk
+
+    return collocations_topk(_docs(spark, sf), k=100, min_count=5)
+
+
+def _er_golden_record(spark: SparkSession, sf: str) -> DataFrame:
+    """G40 (operators/survivorship.py): golden record per cluster —
+    counts + mention-weighted mode survivorship of domain_canon."""
+    from email_address_parser_spark.operators.survivorship import golden_records
+
+    m = _mentions(spark, sf)
+    clusters = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    return golden_records(m, clusters)
+
+
 # ---------------------------------------------------------------------------
 # oracles (DuckDB SQL over the same parquet views)
 # ---------------------------------------------------------------------------
@@ -975,6 +1013,45 @@ clusters AS (
 """
 
 
+def _funnel_oracle() -> str:
+    from email_address_parser_spark.operators.funnel import funnel_oracle
+
+    return funnel_oracle()
+
+
+# G40 survivorship replay over the ground-truth clusters (equality of the
+# engine's clustering with these is separately pinned by er_clusters)
+_ORACLE_GOLDEN = _ORACLE_CLUSTERS + """,
+gm AS (
+    SELECT c.cluster_id, me.email, me.conv_id, me.domain_canon
+    FROM mentions_expected me JOIN clusters c USING (email)
+    WHERE me.valid_lax
+),
+gbase AS (
+    SELECT cluster_id,
+        CAST(count(DISTINCT email) AS BIGINT) AS n_members,
+        CAST(count(*) AS BIGINT) AS n_mentions,
+        CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversations
+    FROM gm GROUP BY 1
+),
+gdom AS (
+    SELECT cluster_id, domain_canon, count(*) AS cnt FROM gm GROUP BY 1, 2
+),
+gtop AS (
+    SELECT cluster_id, domain_canon AS top_domain,
+        CAST(cnt AS BIGINT) AS top_domain_mentions
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY cluster_id ORDER BY cnt DESC, domain_canon ASC) AS rn
+        FROM gdom
+    ) WHERE rn = 1
+)
+SELECT b.cluster_id, b.n_members, b.n_mentions, b.n_conversations,
+    t.top_domain, t.top_domain_mentions
+FROM gbase b JOIN gtop t USING (cluster_id)
+"""
+
+
 def _redact_oracle() -> str:
     from email_address_parser_spark.functions.redact import (
         EMAIL_TOKEN_RE,
@@ -1011,6 +1088,7 @@ def oracle_sql() -> dict[str, str]:
         "er_incremental": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
         "er_incremental_fold": _ORACLE_CLUSTERS
         + "SELECT email, cluster_id FROM clusters",
+        "er_golden_record": _ORACLE_GOLDEN,
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",
@@ -1123,6 +1201,7 @@ def oracle_sql() -> dict[str, str]:
             left_type="purchase", right_type="click"
         ),
         "events_rolling": _oracles.events_rolling_oracle(window_s=7 * 86400),
+        "events_funnel": _funnel_oracle(),
         "events_props_stats": """
             SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                 CAST(count(*) AS BIGINT) AS n_events,
@@ -1278,6 +1357,51 @@ def oracle_sql() -> dict[str, str]:
                     PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
                 FROM scored
             ) WHERE rank <= 5""",
+        # PMI expression mirrors operators/ranking.collocations_topk term by
+        # term ((c_xy/N_bi) / ((c_x/N_uni)*(c_y/N_uni))) so the ln/round(6)
+        # replays bit-stably; DuckDB's BIGINT '/' is float division like
+        # Spark's, so no explicit casts are needed
+        "doc_collocations": r"""
+            WITH tok AS (
+                SELECT doc_id,
+                    regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
+                FROM documents
+            ),
+            uc AS (
+                SELECT term, count(*) AS c
+                FROM (SELECT unnest(w) AS term FROM tok) GROUP BY 1
+            ),
+            bc AS (
+                SELECT p['x'] AS x, p['y'] AS y, count(*) AS c_xy
+                FROM (
+                    SELECT unnest(list_transform(range(1, len(w)),
+                        i -> struct_pack(
+                            x := w[CAST(i AS INT)],
+                            y := w[CAST(i AS INT) + 1]))) AS p
+                    FROM tok WHERE len(w) >= 2
+                ) GROUP BY 1, 2
+            ),
+            n1 AS (SELECT sum(c) AS n_uni FROM uc),
+            n2 AS (SELECT sum(c_xy) AS n_bi FROM bc),
+            cscored AS (
+                SELECT bc.x || ' ' || bc.y AS bigram,
+                    CAST(bc.c_xy AS BIGINT) AS c_xy,
+                    CAST(ux.c AS BIGINT) AS c_x,
+                    CAST(uy.c AS BIGINT) AS c_y,
+                    round(ln((bc.c_xy / n2.n_bi)
+                        / ((ux.c / n1.n_uni) * (uy.c / n1.n_uni))), 6) AS pmi
+                FROM bc
+                JOIN uc ux ON ux.term = bc.x
+                JOIN uc uy ON uy.term = bc.y
+                CROSS JOIN n1 CROSS JOIN n2
+                WHERE bc.c_xy >= 5
+            )
+            SELECT bigram, c_xy, c_x, c_y, pmi, CAST(rank AS INT) AS rank
+            FROM (
+                SELECT *, row_number() OVER (
+                    ORDER BY pmi DESC, bigram ASC) AS rank
+                FROM cscored
+            ) WHERE rank <= 100""",
         "dedup_exact": r"""
             WITH fp AS (
                 SELECT doc_id,
