@@ -121,6 +121,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G40: survivorship — one golden record per cluster (counts +
         # mention-weighted mode of domain_canon, ties lexicographic)
         "er_golden_record": _er_golden_record,
+        # F12 diagnostics: per-cluster cohesion (edge density, score stats)
+        "er_cluster_density": _er_cluster_density,
         # batch-incremental cluster maintenance: fold the held-out 20% of
         # conversations into clusters built from the other 80%; the oracle is
         # the FULL-corpus clustering, so a triple-match proves the
@@ -161,6 +163,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G38: ordered funnel (view -> click -> purchase), one min-aggregate
         # per step, every stage hashed on the same key
         "events_funnel": _events_funnel,
+        # G41: cohort retention matrix (first-active-day cohorts x offsets)
+        "events_retention": _events_retention,
         # --- training-data pipeline: text analysis (documents) -------------
         "doc_token_counts": _doc_token_counts,
         "doc_quality": _doc_quality,
@@ -908,6 +912,67 @@ def _doc_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _events_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """G41: cohort retention matrix — users bucketed by first-active day,
+    distinct-user counts at each day offset. Two aggregations + one join,
+    all keyed on user_id (exchange reuse); the output is
+    cohorts × offsets, tiny at any corpus scale."""
+    ev = load_table(spark, sf, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    coh = act.groupBy("user_id").agg(F.min("day").alias("cday"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            F.date_format("cday", "yyyy-MM-dd").alias("cohort_day"),
+            F.datediff("day", "cday").cast("int").alias("offset_days"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+def _er_cluster_density(spark: SparkSession, sf: str) -> DataFrame:
+    """F12 diagnostics: per-cluster cohesion — member count, confirmed match
+    edges, edge density vs the complete graph, mean/min edge score. The ER
+    quality dashboard a steward reads to find under- and over-merged
+    clusters. Edges attribute to their src endpoint's cluster (src and dst
+    always co-cluster by construction: the edges DEFINE the clusters)."""
+    m = _mentions(spark, sf)
+    scored = score_pairs(candidate_pairs(m, hot_threshold=1 << 40))
+    # edges feed BOTH the clustering and the per-cluster edge stats; pin the
+    # (pair-scoring-sized) subtree so it runs once (tfidf_topk pattern)
+    edges = match_edges(scored).localCheckpoint(eager=False)
+    clusters = cluster_mentions(m, edges).localCheckpoint(eager=False)
+    memb = clusters.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members")
+    )
+    eagg = (
+        edges.join(
+            clusters.withColumnRenamed("email", "src"), "src"
+        )
+        .groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.round(F.avg("score"), 6).alias("avg_score"),
+            F.min("score").alias("min_score"),
+        )
+    )
+    possible = (F.col("n_members") * (F.col("n_members") - 1) / F.lit(2.0))
+    return (
+        memb.join(eagg, "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "n_members",
+            F.coalesce(F.col("n_edges"), F.lit(0)).alias("n_edges"),
+            F.when(
+                F.col("n_members") > 1,
+                F.round(F.coalesce(F.col("n_edges"), F.lit(0)) / possible, 6),
+            ).alias("density"),
+            "avg_score",
+            "min_score",
+        )
+    )
+
+
 def _events_funnel(spark: SparkSession, sf: str) -> DataFrame:
     """G38 (operators/funnel.py): ordered view→click→purchase funnel per
     user — step k is the earliest event of its type strictly after step
@@ -1089,6 +1154,36 @@ def oracle_sql() -> dict[str, str]:
         "er_incremental_fold": _ORACLE_CLUSTERS
         + "SELECT email, cluster_id FROM clusters",
         "er_golden_record": _ORACLE_GOLDEN,
+        # density replay: ground-truth clusters (engine equality pinned by
+        # er_clusters) + the same >= 0.90 edge set as er_edges, attributed
+        # via the src endpoint exactly like the engine side
+        "er_cluster_density": _ORACLE_PAIRS + """,
+        dclusters AS (
+            SELECT email, min(email) OVER (PARTITION BY match_key) AS cluster_id
+            FROM uniq
+        ),
+        dedges AS (
+            SELECT c.cluster_id, s.score
+            FROM scored s JOIN dclusters c ON c.email = s.email_a
+            WHERE s.score >= 0.90
+        ),
+        dmemb AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
+            FROM dclusters GROUP BY 1
+        ),
+        deagg AS (
+            SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_edges,
+                round(avg(score), 6) AS avg_score, min(score) AS min_score
+            FROM dedges GROUP BY 1
+        )
+        SELECT m.cluster_id, m.n_members,
+            coalesce(e.n_edges, 0) AS n_edges,
+            CASE WHEN m.n_members > 1 THEN
+                round(coalesce(e.n_edges, 0)
+                      / (m.n_members * (m.n_members - 1) / 2.0), 6)
+            END AS density,
+            e.avg_score, e.min_score
+        FROM dmemb m LEFT JOIN deagg e USING (cluster_id)""",
         "er_cluster_sizes": _ORACLE_CLUSTERS
         + """SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members
              FROM clusters GROUP BY cluster_id""",
@@ -1202,6 +1297,18 @@ def oracle_sql() -> dict[str, str]:
         ),
         "events_rolling": _oracles.events_rolling_oracle(window_s=7 * 86400),
         "events_funnel": _funnel_oracle(),
+        "events_retention": """
+            WITH activity AS (
+                SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+            ),
+            cohort AS (
+                SELECT user_id, min(day) AS cday FROM activity GROUP BY 1
+            )
+            SELECT strftime(c.cday, '%Y-%m-%d') AS cohort_day,
+                CAST(date_diff('day', c.cday, a.day) AS INT) AS offset_days,
+                CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+            FROM activity a JOIN cohort c USING (user_id)
+            GROUP BY 1, 2""",
         "events_props_stats": """
             SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
                 CAST(count(*) AS BIGINT) AS n_events,

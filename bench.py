@@ -197,6 +197,16 @@ def main() -> None:
 
         _force(queries()["doc_sample_weighted"](spark, sf_dir))
 
+    def q_colloc():
+        from __spark_entry__ import queries
+
+        _force(queries()["doc_collocations"](spark, sf_dir))
+
+    def q_funnel():
+        from __spark_entry__ import queries
+
+        _force(queries()["events_funnel"](spark, sf_dir))
+
     # the round-3/4 flagship incremental operators, driver-visible so a
     # regression in either fold shows up in BENCH_r{N}. The timed region is
     # the production steady state — read MoR state from parquet, fold the
@@ -290,6 +300,8 @@ def main() -> None:
         "doc_tfidf_topk": q_tfidf,
         "dedup_semantic": q_semantic,
         "doc_sample_weighted": q_wsample,
+        "doc_collocations": q_colloc,
+        "events_funnel": q_funnel,
         "er_incremental_fold": q_incr_fold,
         "dedup_keep_best_incr": q_dedup_incr,
     }
