@@ -224,3 +224,35 @@ def test_stratified_sample_plans_window_group_limit(spark):
     )
     df.write.format("noop").mode("overwrite").save()
     assert "WindowGroupLimit" in executed_plan(df)
+
+
+def test_collocations_global_topk_plans_take_ordered(spark):
+    """G39: the global rank<=k filter must become TakeOrderedAndProject
+    (per-partition heaps) so the unbounded-window warning path only ever
+    sees the k survivors — never a single-partition sort of the full
+    min_count-filtered bigram set."""
+    from email_address_parser_spark.operators.ranking import collocations_topk
+    from email_address_parser_spark.plans import executed_plan
+    from email_address_parser_spark.sources.testdata import load_documents
+
+    df = collocations_topk(load_documents(spark, SF_DIR), k=10, min_count=2)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_funnel_stages_share_key_partitioning(spark):
+    """G38: every funnel stage keys on user_id — no exchange on any other
+    column may appear (the per-step frontiers may broadcast at small scale,
+    but nothing may repartition off-key)."""
+    import re
+
+    from email_address_parser_spark.operators.funnel import funnel
+    from email_address_parser_spark.plans import executed_plan
+    from email_address_parser_spark.sources.testdata import load_table
+
+    df = funnel(load_table(spark, SF_DIR, "events"))
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
+        assert m.group(1) == "user_id", plan
