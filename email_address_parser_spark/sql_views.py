@@ -50,8 +50,16 @@ def register_er_views(
             collapse_exact=True, dedupe=False, uniq=uniq,
         )
         fuzzy = match_edges(score_pairs(pairs))
-        cluster_mentions_collapsed(
+        clusters = cluster_mentions_collapsed(
             mentions, fuzzy, exact_match_edges(mentions, uniq=uniq), nodes=uniq
-        ).createOrReplaceTempView("er_clusters")
+        )
+        clusters.createOrReplaceTempView("er_clusters")
         views.append("er_clusters")
+
+        from .operators.survivorship import golden_records
+
+        golden_records(mentions, clusters).createOrReplaceTempView(
+            "er_golden_records"
+        )
+        views.append("er_golden_records")
     return views

@@ -34,3 +34,16 @@ def test_sql_views_agree_with_dataframes(spark):
         "SELECT count(*) AS n FROM er_star_edges WHERE src >= dst"
     ).collect()[0].n
     assert stars == 0  # root is always the minimum of its group
+
+    golden = spark.sql(
+        """SELECT count(*) AS n_clusters,
+                  sum(n_members) AS total_members,
+                  min(top_domain_mentions) AS min_top
+           FROM er_golden_records"""
+    ).collect()[0]
+    n_clusters = spark.sql(
+        "SELECT count(DISTINCT cluster_id) AS n FROM er_clusters"
+    ).collect()[0].n
+    assert golden.n_clusters == n_clusters  # one golden record per cluster
+    assert golden.total_members == n_uniq   # members partition the emails
+    assert golden.min_top >= 1
