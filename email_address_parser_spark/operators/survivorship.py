@@ -11,7 +11,9 @@ from the member mentions by explicit, deterministic rules. Rules here:
     deterministic under any partitioning. This is the rule that repairs the
     domain-typo variant: the cluster that absorbed `…@xample.com` members
     still survives `example.com` as its canonical domain because the correct
-    spelling out-votes the typo.
+    spelling out-votes the typo. (At an exact 1-1 vote the lexicographic tie
+    rule decides — it can pick either spelling, but always the SAME one; the
+    end-to-end test pins both directions.)
 
 Plan shape (100 TB): one join of mentions→clusters on `email` (the cluster
 assignment is distinct-email-sized — NOT broadcastable at corpus scale, so

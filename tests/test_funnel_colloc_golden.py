@@ -161,3 +161,66 @@ def test_golden_records_mode_survivorship(spark):
     b = out["b@aaa.com"]
     assert b.top_domain == "aaa.com"  # tie at 1-1 -> lexicographic
     assert (b.n_members, b.n_mentions, b.n_conversations) == (2, 2, 1)
+
+
+def test_golden_records_repair_domain_typos_end_to_end(spark):
+    """The round-4 arc in one assertion: the cross-domain channels pull the
+    variant-4 domain-typo mention into its true cluster, and mode
+    survivorship then SURVIVES the correctly-spelled domain (the typo is
+    out-voted), so the golden record repairs the typo."""
+    from email_address_parser_spark.operators.blocking import candidate_pairs
+    from email_address_parser_spark.operators.extract import (
+        extract_mentions,
+        with_canonical,
+    )
+    from email_address_parser_spark.operators.scoring import match_edges, score_pairs
+    from email_address_parser_spark.operators.survivorship import golden_records
+    from email_address_parser_spark.pipeline import cluster_mentions
+    from email_address_parser_spark.sources.testdata import derive_transcripts
+
+    m = with_canonical(extract_mentions(derive_transcripts(spark, "/root/testdata/sf0.001")))
+    clusters = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    golden = golden_records(m, clusters)
+
+    # a typo'd member makes its cluster MULTI-domain (variant 4 drops the
+    # first char of the '<segment>.example.com' domain; the other 9 variants
+    # canonicalize to the true spelling) — so (a) multi-domain clusters
+    # existing at all proves the cross-domain channels' recall end-to-end,
+    # and (b) in each one the survived top_domain must be the true spelling:
+    # strictly more votes than the typo, exactly one edit apart
+    from pyspark.sql import functions as F
+
+    rows = (
+        m.where(m.valid_lax)
+        .join(clusters, "email")
+        .groupBy("cluster_id", "domain_canon")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .join(golden.select("cluster_id", "top_domain"), "cluster_id")
+        .collect()
+    )
+    by_cluster = {}
+    for r in rows:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+
+    multi = {cid: ms for cid, ms in by_cluster.items() if len(ms) > 1}
+    assert multi  # the typo variant exists and its cluster was recalled
+
+    repaired = 0
+    for members in multi.values():
+        survived = members[0].top_domain
+        # the operator's exact rule: max count, ties -> lexicographic min
+        expect = min(members, key=lambda r: (-r.cnt, r.domain_canon))
+        assert survived == expect.domain_canon
+        # the two domains are the variant-4 pair: one edit (first char) apart
+        doms = sorted({m2.domain_canon for m2 in members}, key=len)
+        assert len(doms) == 2 and doms[1][1:] == doms[0]
+        # wherever the true spelling strictly out-votes the typo, the golden
+        # record REPAIRS it (the interesting direction; a 1-1 tie resolves
+        # by the deterministic lexicographic rule instead)
+        counts = {m2.domain_canon: m2.cnt for m2 in members}
+        if counts[doms[1]] > counts[doms[0]]:
+            assert survived == doms[1]
+            repaired += 1
+    assert repaired > 0  # strict-majority repairs actually occurred
