@@ -123,6 +123,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_golden_record": _er_golden_record,
         # F12 diagnostics: per-cluster cohesion (edge density, score stats)
         "er_cluster_density": _er_cluster_density,
+        # G42: incremental golden records (composes the G24 cluster fold
+        # with G40 survivorship; only touched clusters recompute)
+        "er_golden_record_incr": _er_golden_record_incr,
         # batch-incremental cluster maintenance: fold the held-out 20% of
         # conversations into clusters built from the other 80%; the oracle is
         # the FULL-corpus clustering, so a triple-match proves the
@@ -334,6 +337,37 @@ def _er_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
 
 def _mentions_of(transcripts: DataFrame) -> DataFrame:
     return with_canonical(extract_mentions(transcripts))
+
+
+def _er_golden_record_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """G42 (operators/incremental_golden.py): bootstrap golden records from
+    the ~80% split, fold the ~20% batch — the cluster fold (G24 v2) and the
+    survivorship fold compose, recomputing only touched clusters. The oracle
+    is the SAME full-corpus survivorship SQL as er_golden_record, so the
+    triple-match certifies fold == from-scratch golden records."""
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+        fold_batch,
+    )
+    from email_address_parser_spark.operators.incremental_golden import (
+        build_golden_state,
+        fold_golden,
+    )
+
+    t = derive_transcripts(spark, sf)
+    is_prev = F.pmod(F.xxhash64("conv_id"), F.lit(5)) < 4
+    state = build_incremental_state(spark, t.where(is_prev), hot_threshold=1 << 40)
+    gstate = build_golden_state(_mentions_of(t.where(is_prev)), state["clusters"])
+    new_mentions = _mentions_of(t.where(~is_prev))
+    out = fold_batch(
+        spark, t.where(~is_prev), state,
+        hot_threshold=1 << 40, new_mentions=new_mentions,
+    )
+    gout = fold_golden(
+        spark, new_mentions, out["delta"], out["clusters"],
+        state["clusters"], gstate,
+    )
+    return gout["golden"]
 
 
 def _er_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
@@ -1154,6 +1188,8 @@ def oracle_sql() -> dict[str, str]:
         "er_incremental_fold": _ORACLE_CLUSTERS
         + "SELECT email, cluster_id FROM clusters",
         "er_golden_record": _ORACLE_GOLDEN,
+        # fold == full recompute: the oracle IS the full-corpus survivorship
+        "er_golden_record_incr": _ORACLE_GOLDEN,
         # density replay: ground-truth clusters (engine equality pinned by
         # er_clusters) + the same >= 0.90 edge set as er_edges, attributed
         # via the src endpoint exactly like the engine side
