@@ -75,9 +75,20 @@ def fold_golden(
     cluster state the fold consumed) — needed to tombstone ids that merged
     away. Returns the updated state plus the upsert/tombstone sets
     (`golden_upserts`, `golden_tombstones`) a MoR writer would persist."""
+    # Every batch-/neighborhood-sized intermediate below is PINNED with a
+    # lazy localCheckpoint. Without pinning, each downstream reference
+    # re-embeds the whole fold DAG (clusters_updated carries the CC fold's
+    # plan), and the references NEST through broadcast subtrees — touched
+    # inside members inside slice_men inside two golden_records aggregates
+    # inside the tombstone anti-join — so the final plan tree grows
+    # multiplicatively (measured: ~2,900 stages / 150 s to produce 23
+    # upsert rows at sandbox scale, then a TaskMemoryManager livelock on
+    # the tombstone plan). Pinned, each is evaluated exactly once.
     # 1. exactly-once ledger append (replayed batches drain here)
-    new_men = _men_log(new_mentions).join(
-        state["men"].select(*MENTION_KEY), MENTION_KEY, "left_anti"
+    new_men = (
+        _men_log(new_mentions)
+        .join(state["men"].select(*MENTION_KEY), MENTION_KEY, "left_anti")
+        .localCheckpoint(eager=False)
     )
     men = state["men"].unionByName(new_men)
 
@@ -87,21 +98,28 @@ def fold_golden(
         new_men.select("email")
         .unionByName(assign_delta.select("email"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     touched = (
         clusters_updated.join(F.broadcast(touched_emails), "email", "left_semi")
         .select("cluster_id")
         .distinct()
+        .localCheckpoint(eager=False)
     )
 
     # 3. recompute survivorship on the touched slice only, with the SAME
     #    batch operator (golden_records). members/slice are
     #    neighborhood-sized; prod reads them with partition-pruned scans.
-    members = clusters_updated.join(F.broadcast(touched), "cluster_id", "left_semi")
-    slice_men = men.join(
-        F.broadcast(members.select("email")), "email", "left_semi"
-    ).withColumn("valid_lax", F.lit(True))
-    upserts = golden_records(slice_men, members)
+    members = (
+        clusters_updated.join(F.broadcast(touched), "cluster_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    slice_men = (
+        men.join(F.broadcast(members.select("email")), "email", "left_semi")
+        .withColumn("valid_lax", F.lit(True))
+        .localCheckpoint(eager=False)
+    )
+    upserts = golden_records(slice_men, members).localCheckpoint(eager=False)
 
     # 4. tombstone every PRE-fold golden row whose cluster was touched under
     #    EITHER assignment: `touched` (post-fold ids) catches replaced rows;
@@ -121,17 +139,25 @@ def fold_golden(
             "left_semi",
         )
         .select("cluster_id")
+        .localCheckpoint(eager=False)
     )
     golden = (
         state["golden"]
         .join(F.broadcast(old_touched), "cluster_id", "left_anti")
         .unionByName(upserts)
     )
+    # the MoR tombstone surface: ONLY ids that truly disappeared (merged
+    # away). Ids that survive are covered by their upsert — emitting both a
+    # tombstone and an upsert for the same id at the same epoch would make
+    # latest-wins resolution a coin flip.
+    tombstones = old_touched.join(
+        upserts.select("cluster_id"), "cluster_id", "left_anti"
+    )
 
     return {
         "men": men,
         "golden": golden,
         "golden_upserts": upserts,
-        "golden_tombstones": old_touched,
+        "golden_tombstones": tombstones,
         "new_men": new_men,
     }

@@ -60,6 +60,11 @@ from ..operators.incremental_dedup import (
     build_dedup_state,
     fold_docs,
 )
+from ..operators.incremental_golden import (
+    MENTION_KEY,
+    build_golden_state,
+    fold_golden,
+)
 
 # merge keys per state table (latest-epoch row wins per key); `uniq` is
 # append-only and absent here on purpose
@@ -77,6 +82,14 @@ STATE_BUCKET_KEYS = {"uniq": ["email"]}
 # bands/grams/meta are append-only (batch rows only), clusters merges on id
 DEDUP_STATE_KEYS = {"clusters": ["id"]}
 DEDUP_BUCKET_KEYS = {"bands": ["id"], "grams": ["id"], "meta": ["id"]}
+# the G42 golden fold's state: the mention ledger is append-only (the
+# exactly-once anti-join key is the mention key; email is the prune/bucket
+# key); golden merges on cluster_id, with MERGED-AWAY ids appended as
+# all-null TOMBSTONE rows (the parquet-dir analog of an Iceberg equality
+# delete) that `read_golden_state` filters after latest-wins resolution
+GOLDEN_STATE_TABLES = ("men", "golden")
+GOLDEN_STATE_KEYS = {"golden": ["cluster_id"]}
+GOLDEN_BUCKET_KEYS = {"men": ["email"]}
 N_STATE_BUCKETS = 32
 
 
@@ -297,11 +310,52 @@ def bootstrap_state(
     )
 
 
+def bootstrap_golden_state(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cluster_state: Dict[str, DataFrame],
+    golden_dir: str,
+) -> None:
+    """Epoch-0 base for the golden fold's MoR state, derived from the SAME
+    corpus/clustering the cluster state was bootstrapped from (an empty
+    corpus yields empty-but-typed tables, so a from-nothing stream works)."""
+    from ..operators.extract import extract_mentions, with_canonical
+
+    mentions = with_canonical(extract_mentions(transcripts))
+    write_state_mor(
+        build_golden_state(mentions, cluster_state["clusters"]),
+        golden_dir,
+        tables=GOLDEN_STATE_TABLES,
+        mode="overwrite",
+        merge_keys=GOLDEN_STATE_KEYS,
+        bucket_keys=GOLDEN_BUCKET_KEYS,
+    )
+
+
+def read_golden_state(spark: SparkSession, golden_dir: str) -> Dict[str, DataFrame]:
+    """Resolved golden state: latest-wins per cluster_id, then tombstones
+    (all-null aggregate rows appended for merged-away ids) filtered out."""
+    state = read_state(spark, golden_dir, tables=GOLDEN_STATE_TABLES)
+    state["golden"] = state["golden"].where(F.col("n_members").isNotNull())
+    return state
+
+
+def _golden_tombstone_rows(upserts: DataFrame, tombstones: DataFrame) -> DataFrame:
+    """Tombstone ids as all-null golden rows in the upsert frame's schema."""
+    nulls = [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in upserts.schema.fields
+        if f.name != "cluster_id"
+    ]
+    return tombstones.select("cluster_id", *nulls)
+
+
 def streaming_cluster_maintenance(
     transcript_stream: DataFrame,
     state_dir: str,
     checkpoint_dir: str,
     compact_every: int = 0,
+    golden_dir: str = None,
     **fold_kwargs,
 ):
     """writeStream query folding each transcript micro-batch into
@@ -317,12 +371,59 @@ def streaming_cluster_maintenance(
 
     compact_every > 0 runs the measured compaction cadence inline: after a
     fold commits, `compact_if_needed` rewrites the base once that many
-    epochs have accumulated (value-neutral — pinned by the cadence test)."""
+    epochs have accumulated (value-neutral — pinned by the cadence test).
+
+    golden_dir != None co-maintains the G42 golden-record state: the
+    survivorship fold (upserts for touched clusters, tombstones for
+    merged-away ids, ledger append) runs off the same micro-batch and its
+    batch-sized update frames are MATERIALIZED before either state dir is
+    appended — the golden fold's lazy plans read the pre-write cluster
+    state, so the write order can never feed a fold its own output. Replay
+    safety composes the same way: a replayed batch drains through the
+    mention-key anti-join, so its golden upserts are value-identical rows
+    at a higher epoch."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        out = fold_batch(spark, batch_df, read_state(spark, state_dir), **fold_kwargs)
+        state = read_state(spark, state_dir)
+        new_mentions = None
+        if golden_dir:
+            from ..operators.extract import extract_mentions, with_canonical
+
+            new_mentions = with_canonical(extract_mentions(batch_df))
+        out = fold_batch(
+            spark, batch_df, state, new_mentions=new_mentions, **fold_kwargs
+        )
+        g_updates = None
+        if golden_dir:
+            gout = fold_golden(
+                spark,
+                new_mentions,
+                out["delta"],
+                out["clusters"],
+                state["clusters"],
+                read_golden_state(spark, golden_dir),
+            )
+            # materialize the batch-sized golden updates BEFORE any append
+            g_updates = {
+                "men": gout["new_men"].localCheckpoint(),
+                "golden": gout["golden_upserts"]
+                .unionByName(
+                    _golden_tombstone_rows(
+                        gout["golden_upserts"], gout["golden_tombstones"]
+                    )
+                )
+                .localCheckpoint(),
+            }
         write_state_mor(out["updates"], state_dir)
+        if g_updates is not None:
+            write_state_mor(
+                g_updates,
+                golden_dir,
+                tables=GOLDEN_STATE_TABLES,
+                merge_keys=GOLDEN_STATE_KEYS,
+                bucket_keys=GOLDEN_BUCKET_KEYS,
+            )
         if compact_every:
             compact_if_needed(spark, state_dir, every_k_epochs=compact_every)
 

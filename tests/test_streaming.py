@@ -327,3 +327,79 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     }
     assert got == want
     assert len(got) == 3
+
+
+def test_streaming_golden_comaintenance_matches_batch(spark, tmp_path):
+    """G42 as a foreachBatch co-consumer: stream a corpus in 3 micro-batches
+    with golden_dir set; the persisted golden state (latest-wins + tombstone
+    filter) equals `golden_records` over the full corpus and the streamed
+    final clustering, and a replay drain leaves it unchanged."""
+    from email_address_parser_spark.operators.extract import (
+        extract_mentions,
+        with_canonical,
+    )
+    from email_address_parser_spark.operators.survivorship import golden_records
+    from email_address_parser_spark.streaming.extract_stream import (
+        read_transcript_stream,
+    )
+    from email_address_parser_spark.streaming.incremental_stream import (
+        bootstrap_golden_state,
+        bootstrap_state,
+        read_golden_state,
+        read_state,
+        streaming_cluster_maintenance,
+    )
+    from email_address_parser_spark.synth import synthesize
+
+    corpus = synthesize(n_convs=60, turns_per_conv=5, n_entities=18, seed=29)
+    df = spark.createDataFrame(corpus.transcripts)
+    land = f"{tmp_path}/landing"
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    for k in range(3):
+        df.where(h == k).coalesce(1).write.mode("append").parquet(land)
+
+    fold_kwargs = dict(hot_threshold=25, target_block_size=16)
+    state_dir, golden_dir = f"{tmp_path}/state", f"{tmp_path}/golden"
+    bootstrap_state(spark, df.limit(0), state_dir, **fold_kwargs)
+    bootstrap_golden_state(
+        spark, df.limit(0), read_state(spark, state_dir), golden_dir
+    )
+    q = streaming_cluster_maintenance(
+        read_transcript_stream(spark, land, max_files_per_trigger=1),
+        state_dir,
+        f"{tmp_path}/ckpt",
+        golden_dir=golden_dir,
+        **fold_kwargs,
+    )
+    q.awaitTermination()
+
+    clusters = read_state(spark, state_dir)["clusters"]
+    want = {
+        tuple(r) for r in golden_records(
+            with_canonical(extract_mentions(df)), clusters
+        ).collect()
+    }
+    gstate = read_golden_state(spark, golden_dir)
+    got = {tuple(r) for r in gstate["golden"].collect()}
+    assert got == want
+    # the ledger holds each valid mention exactly once
+    men = gstate["men"]
+    assert men.count() == men.dropDuplicates(
+        ["conv_id", "turn_idx", "mention_idx"]
+    ).count()
+
+    # replay: drain the same landing zone from a NEW checkpoint — the
+    # mention-key anti-join makes the golden fold value-idempotent
+    q2 = streaming_cluster_maintenance(
+        read_transcript_stream(spark, land, max_files_per_trigger=8),
+        state_dir,
+        f"{tmp_path}/ckpt2",
+        golden_dir=golden_dir,
+        **fold_kwargs,
+    )
+    q2.awaitTermination()
+    again = {
+        tuple(r)
+        for r in read_golden_state(spark, golden_dir)["golden"].collect()
+    }
+    assert again == want
