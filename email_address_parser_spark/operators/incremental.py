@@ -77,6 +77,40 @@ from .cc import connected_components
 from .extract import extract_mentions, with_canonical
 from .scoring import DEFAULT_THRESHOLD, match_edges, score_pairs
 
+# How fold-internal fan-out frames are pinned. Each pinned frame is
+# referenced by many downstream subtrees; persist() caches EXECUTION but
+# every reference still embeds the frame's full LOGICAL subtree, so the
+# fold delta's plan grows multiplicatively with fan-out depth — measured
+# here (BENCH/profiles/profile_fold_floor.py): a 92 MB plan string, with
+# Catalyst re-analysis as the fold's floor. A LAZY localCheckpoint
+# truncates lineage to a LogicalRDD at first materialization, so each
+# subtree is analyzed and optimized exactly once.
+#
+# The trade is regime-dependent and BOTH regimes are measured
+# (BENCH/profiles/ab_fold_plan.py, same-session alternating A/B, sf0.1):
+#   * shipped config (hot_threshold=200, target_block=64; tiny salted
+#     blocks, planning-dominated): checkpoint 15.6 s vs persist 46.4 s
+#   * big-block config (hot=10k, block=5k; pair-heavy,
+#     execution-dominated): persist 56.8 s vs checkpoint 133.7 s —
+#     LogicalRDDs row-cache large frames and hide them from cache
+#     substitution, which costs more than the planning it saves
+# Default = "checkpoint" (the shipped config and the steady-state chained
+# fold, where plan depth compounds per fold); fold_batch(pin_mode=...) is
+# the per-call override for big-block deployments.
+LINEAGE_PIN_MODE = "checkpoint"
+
+
+def _make_pin(mode: Optional[str] = None):
+    def pin(df: DataFrame) -> DataFrame:
+        if (mode or LINEAGE_PIN_MODE) == "persist":
+            return df.persist()
+        return df.localCheckpoint(eager=False)
+
+    return pin
+
+
+_pin = _make_pin()
+
 
 def with_minhash_bands(df: DataFrame, local_col: str = "local_canon") -> DataFrame:
     """Add `band_sigs: array<long>` — the LSH band keys of `local_col`.
@@ -638,6 +672,7 @@ def fold_batch(
     use_cross_domain: bool = True,
     local_max_block: int = 50,
     use_email_lsh: bool = True,
+    pin_mode: Optional[str] = None,
 ) -> Dict[str, DataFrame]:
     """Fold one batch into `state` touching only the batch and its affected
     neighborhood — the web-scale shape of G24:
@@ -659,6 +694,7 @@ def fold_batch(
     collapsed batch chain over the union corpus, under the same
     no-blocking-transition proviso as `incremental_cluster_update` — pinned
     by tests/test_incremental.py (single and chained folds)."""
+    _fb_pin = _make_pin(pin_mode)
     if new_mentions is None:
         new_mentions = with_canonical(extract_mentions(new_transcripts))
     want_ebands = use_cross_domain and use_email_lsh
@@ -667,10 +703,12 @@ def fold_batch(
         batch_uniq = with_minhash_bands(batch_uniq)
     if want_ebands:
         batch_uniq = with_email_bands(batch_uniq)
-    # prod: state.uniq is bucketed by email -> co-located anti-join
+    # prod: state.uniq is bucketed by email -> co-located anti-join.
+    # every fan-out frame below is pinned (lazy localCheckpoint by default —
+    # see the module-level LINEAGE_PIN_MODE note for the measured rationale)
     new_uniq = batch_uniq.join(
         state["uniq"].select("email"), "email", "left_anti"
-    ).persist()
+    ).transform(_fb_pin)
 
     batch_keys = new_uniq.select("match_key").distinct()
     batch_domains = new_uniq.select("domain_canon").distinct()
@@ -692,7 +730,7 @@ def fold_batch(
     state_reps = state["reps"].select(*rep_cols)
     prev_slice = state_reps.join(
         F.broadcast(batch_keys), "match_key", "left_semi"
-    ).persist()
+    ).transform(_fb_pin)
     rep_aggs = [
         F.min("email").alias("email"),
         F.min_by("local_canon", "email").alias("local_canon"),
@@ -707,7 +745,7 @@ def fold_batch(
         )
         .groupBy("match_key", "domain_canon")
         .agg(*rep_aggs)
-        .persist()
+        .transform(_fb_pin)
     )
 
     # --- star edges: new variants anchor to the key's prev root ------------
@@ -753,7 +791,7 @@ def fold_batch(
             (F.coalesce(F.col("_dom_n"), F.lit(0))
              + F.coalesce(F.col("_delta"), F.lit(0))).alias("_dom_n"),
         )
-    ).persist()
+    ).transform(_fb_pin)
 
     # --- partner slice: state reps in the batch's domains -------------------
     partners = (
@@ -768,7 +806,7 @@ def fold_batch(
     )
     blocked = with_salted_domain_block(
         fold_dim, hot_threshold, target_block_size, sizes=touched_counts
-    ).persist()
+    ).transform(_fb_pin)
     pairs = _restricted_pairs(
         blocked.select("block_key", "email", "local_canon", "domain_canon", "_is_new"),
         ["block_key"],
@@ -802,7 +840,7 @@ def fold_batch(
                     + F.coalesce(F.col("_ad"), F.lit(0))
                 ).alias("_bn"),
             )
-        ).persist()
+        ).transform(_fb_pin)
         new_bands = merged_reps.select(
             "email", "local_canon", "domain_canon",
             F.lit(True).alias("_is_new"),
@@ -832,7 +870,7 @@ def fold_batch(
             .join(
                 blocked.select("email", "block_key"), "email"
             )
-            .persist()
+            .transform(_fb_pin)
         )
         lsh_pairs = _restricted_pairs(
             bounded, ["band_idx", "band_sig", "domain_canon"], cross_block=True
@@ -864,7 +902,7 @@ def fold_batch(
                     + F.coalesce(F.col("_delta"), F.lit(0))
                 ).alias("_ln"),
             )
-        ).persist()
+        ).transform(_fb_pin)
         # partner slice: state reps sharing a batch dotless local (prod: the
         # reps table's dotless secondary partition prunes this scan)
         xd_partners = (
@@ -921,7 +959,7 @@ def fold_batch(
                         + F.coalesce(F.col("_ad"), F.lit(0))
                     ).alias("_bn"),
                 )
-            ).persist()
+            ).transform(_fb_pin)
             e_cols = [
                 "email", "local_canon", "domain_canon", "_dl", "_is_new",
                 "band_idx", "band_sig",
@@ -961,7 +999,7 @@ def fold_batch(
                     ),
                     ["band_idx", "band_sig"],
                 )
-                .persist()
+                .transform(_fb_pin)
             )
             e_pairs = _restricted_pairs(
                 ebounded,
@@ -974,14 +1012,14 @@ def fold_batch(
     edges = (
         match_edges(score_pairs(pairs), threshold)
         .unionByName(star_edges)
-        .persist()
+        .transform(_fb_pin)
     )
 
     # --- quotient contraction + assignment (shared with v1 semantics) ------
     root_of = state["clusters"].select(
         F.col("email").alias("_member"), F.col("cluster_id").alias("_root")
     )
-    edge_set = edges.select("src", "dst").persist()
+    edge_set = edges.select("src", "dst")
     rewritten = (
         edge_set
         .join(root_of, F.col("src") == F.col("_member"), "left")
