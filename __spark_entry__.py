@@ -139,6 +139,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
+        # G43: SCD2 cluster-membership history — two epochs (80% bootstrap,
+        # then the G24 fold), folded into a (email, cluster_id, valid_from,
+        # valid_to, is_current) timeline; oracle recomputes the SCD2 table
+        # from the two match-key clusterings directly
+        "er_membership_history": _er_membership_history,
         # --- generic relational operators (F4, F8, F12-F14) ----------------
         "q1_pricing_summary": _q1_pricing_summary,
         "q3_shipping_priority": _q3_shipping_priority,
@@ -337,6 +342,39 @@ def _er_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
 
 def _mentions_of(transcripts: DataFrame) -> DataFrame:
     return with_canonical(extract_mentions(transcripts))
+
+
+def _er_membership_history(spark: SparkSession, sf: str) -> DataFrame:
+    """G43 (operators/history.py): SCD2 membership timeline across two
+    epochs. Epoch 0 clusters the EVEN turns of every conversation and
+    snapshots it; epoch 1 folds the odd turns in with the G24 v2 state fold
+    and folds the updated assignments into the history. The turn split (a
+    predicate DuckDB replays exactly, unlike xxhash64) is what makes
+    closures reachable: identities are conversation-local here, so only a
+    split WITHIN conversations lets a later turn introduce a
+    lexicographically-smaller variant that relabels an existing cluster
+    (1,328 closed rows at sf0.01, all three SCD2 transitions live). The
+    oracle rebuilds the SCD2 table from the two slice clusterings directly
+    (_ORACLE_HISTORY), so the triple-match certifies snapshot+fold ==
+    from-scratch history."""
+    from email_address_parser_spark.operators.history import (
+        fold_history,
+        snapshot_history,
+    )
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+        fold_batch,
+    )
+
+    t = derive_transcripts(spark, sf)
+    is_prev = F.col("turn_idx") % 2 == 0
+    state = build_incremental_state(spark, t.where(is_prev), hot_threshold=1 << 40)
+    h0 = snapshot_history(
+        state["clusters"].select("email", "cluster_id"), 0
+    )
+    out = fold_batch(spark, t.where(~is_prev), state, hot_threshold=1 << 40)
+    h1 = fold_history(h0, out["clusters"].select("email", "cluster_id"), 1)
+    return h1["history"]
 
 
 def _er_golden_record_incr(spark: SparkSession, sf: str) -> DataFrame:
@@ -1112,6 +1150,40 @@ clusters AS (
 """
 
 
+# G43 SCD2 replay: rebuild the membership history from the two slice
+# clusterings directly (epoch 0 = even turns, epoch 1 = full corpus).
+# Corpus growth never removes an email,
+# so every epoch-0 email exists at epoch 1 (inner join is total) and the
+# history is: epoch-0 rows closed iff the assignment changed, plus open
+# epoch-1 rows for changed/new emails.
+_ORACLE_HISTORY = MENTIONS_EXPECTED_CTE + """,
+uniq0 AS (
+    SELECT DISTINCT email, match_key FROM mentions_expected
+    WHERE valid_lax AND turn_idx % 2 = 0
+),
+c0 AS (
+    SELECT email, min(email) OVER (PARTITION BY match_key) AS cid FROM uniq0
+),
+uniq1 AS (
+    SELECT DISTINCT email, match_key FROM mentions_expected WHERE valid_lax
+),
+c1 AS (
+    SELECT email, min(email) OVER (PARTITION BY match_key) AS cid FROM uniq1
+)
+SELECT email, cluster_id, valid_from, valid_to, is_current FROM (
+    SELECT c0.email, c0.cid AS cluster_id, CAST(0 AS BIGINT) AS valid_from,
+        CASE WHEN c1.cid <> c0.cid THEN CAST(1 AS BIGINT) END AS valid_to,
+        (c1.cid = c0.cid) AS is_current
+    FROM c0 JOIN c1 USING (email)
+    UNION ALL
+    SELECT c1.email, c1.cid AS cluster_id, CAST(1 AS BIGINT) AS valid_from,
+        CAST(NULL AS BIGINT) AS valid_to, TRUE AS is_current
+    FROM c1 LEFT JOIN c0 USING (email)
+    WHERE c0.cid IS NULL OR c0.cid <> c1.cid
+)
+"""
+
+
 def _funnel_oracle() -> str:
     from email_address_parser_spark.operators.funnel import funnel_oracle
 
@@ -1190,6 +1262,8 @@ def oracle_sql() -> dict[str, str]:
         "er_golden_record": _ORACLE_GOLDEN,
         # fold == full recompute: the oracle IS the full-corpus survivorship
         "er_golden_record_incr": _ORACLE_GOLDEN,
+        # snapshot+fold == from-scratch SCD2 rebuild from both clusterings
+        "er_membership_history": _ORACLE_HISTORY,
         # density replay: ground-truth clusters (engine equality pinned by
         # er_clusters) + the same >= 0.90 edge set as er_edges, attributed
         # via the src endpoint exactly like the engine side
