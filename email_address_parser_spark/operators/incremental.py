@@ -100,11 +100,15 @@ from .scoring import DEFAULT_THRESHOLD, match_edges, score_pairs
 LINEAGE_PIN_MODE = "checkpoint"
 
 
-def _make_pin(mode: Optional[str] = None):
+def _make_pin(mode: Optional[str] = None, sink: Optional[list] = None):
     def pin(df: DataFrame) -> DataFrame:
         if (mode or LINEAGE_PIN_MODE) == "persist":
-            return df.persist()
-        return df.localCheckpoint(eager=False)
+            out = df.persist()
+        else:
+            out = df.localCheckpoint(eager=False)
+        if sink is not None:
+            sink.append(out)
+        return out
 
     return pin
 
@@ -673,6 +677,7 @@ def fold_batch(
     local_max_block: int = 50,
     use_email_lsh: bool = True,
     pin_mode: Optional[str] = None,
+    pin_sink: Optional[list] = None,
 ) -> Dict[str, DataFrame]:
     """Fold one batch into `state` touching only the batch and its affected
     neighborhood — the web-scale shape of G24:
@@ -694,7 +699,7 @@ def fold_batch(
     collapsed batch chain over the union corpus, under the same
     no-blocking-transition proviso as `incremental_cluster_update` — pinned
     by tests/test_incremental.py (single and chained folds)."""
-    _fb_pin = _make_pin(pin_mode)
+    _fb_pin = _make_pin(pin_mode, pin_sink)
     if new_mentions is None:
         new_mentions = with_canonical(extract_mentions(new_transcripts))
     want_ebands = use_cross_domain and use_email_lsh
