@@ -90,6 +90,12 @@ DEDUP_BUCKET_KEYS = {"bands": ["id"], "grams": ["id"], "meta": ["id"]}
 GOLDEN_STATE_TABLES = ("men", "golden")
 GOLDEN_STATE_KEYS = {"golden": ["cluster_id"]}
 GOLDEN_BUCKET_KEYS = {"men": ["email"]}
+# the G43 membership-history fold's state: SCD2 rows merge on
+# (email, valid_from) — a fold's closure REPLACES the open row it closes
+# (same key, valid_to filled), opens insert fresh keys, so latest-wins
+# resolution IS the SCD2 update and the per-fold append stays batch-sized
+HISTORY_STATE_TABLES = ("history",)
+HISTORY_STATE_KEYS = {"history": ["email", "valid_from"]}
 N_STATE_BUCKETS = 32
 
 
@@ -332,6 +338,26 @@ def bootstrap_golden_state(
     )
 
 
+def bootstrap_history_state(
+    spark: SparkSession,
+    cluster_state: Dict[str, DataFrame],
+    history_dir: str,
+) -> None:
+    """Epoch-0 base for the G43 SCD2 membership history: every bootstrap
+    assignment becomes an open row valid from 0 (empty clusters yield an
+    empty-but-typed table, so a from-nothing stream works)."""
+    from ..operators.history import snapshot_history
+
+    write_state_mor(
+        {"history": snapshot_history(cluster_state["clusters"], 0)},
+        history_dir,
+        tables=HISTORY_STATE_TABLES,
+        mode="overwrite",
+        merge_keys=HISTORY_STATE_KEYS,
+        bucket_keys={},
+    )
+
+
 def read_golden_state(spark: SparkSession, golden_dir: str) -> Dict[str, DataFrame]:
     """Resolved golden state: latest-wins per cluster_id, then tombstones
     (all-null aggregate rows appended for merged-away ids) filtered out."""
@@ -356,6 +382,7 @@ def streaming_cluster_maintenance(
     checkpoint_dir: str,
     compact_every: int = 0,
     golden_dir: str = None,
+    history_dir: str = None,
     **fold_kwargs,
 ):
     """writeStream query folding each transcript micro-batch into
@@ -381,7 +408,15 @@ def streaming_cluster_maintenance(
     state, so the write order can never feed a fold its own output. Replay
     safety composes the same way: a replayed batch drains through the
     mention-key anti-join, so its golden upserts are value-identical rows
-    at a higher epoch."""
+    at a higher epoch.
+
+    history_dir != None co-maintains the G43 SCD2 membership history off
+    the cluster fold's batch-sized assignment DELTA (emails absent from the
+    delta keep their rows — the property tests/test_history.py pins as
+    delta == full view). The fold's epoch is the history dir's own next
+    epoch, so a crash-replay that did not reach the history append re-folds
+    at the SAME epoch and produces byte-identical rows, while a replay
+    after a completed append drains to zero updates (re-fold no-op)."""
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
@@ -415,6 +450,15 @@ def streaming_cluster_maintenance(
                 )
                 .localCheckpoint(),
             }
+        h_updates = None
+        if history_dir:
+            from ..operators.history import fold_history
+
+            hist = read_state(spark, history_dir, tables=HISTORY_STATE_TABLES)
+            hout = fold_history(
+                hist["history"], out["delta"], _read_epoch(history_dir) + 1
+            )
+            h_updates = {"history": hout["updates"].localCheckpoint()}
         write_state_mor(out["updates"], state_dir)
         if g_updates is not None:
             write_state_mor(
@@ -423,6 +467,14 @@ def streaming_cluster_maintenance(
                 tables=GOLDEN_STATE_TABLES,
                 merge_keys=GOLDEN_STATE_KEYS,
                 bucket_keys=GOLDEN_BUCKET_KEYS,
+            )
+        if h_updates is not None:
+            write_state_mor(
+                h_updates,
+                history_dir,
+                tables=HISTORY_STATE_TABLES,
+                merge_keys=HISTORY_STATE_KEYS,
+                bucket_keys={},
             )
         if compact_every:
             compact_if_needed(spark, state_dir, every_k_epochs=compact_every)

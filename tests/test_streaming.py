@@ -403,3 +403,80 @@ def test_streaming_golden_comaintenance_matches_batch(spark, tmp_path):
         for r in read_golden_state(spark, golden_dir)["golden"].collect()
     }
     assert again == want
+
+
+def test_streaming_history_comaintenance(spark, tmp_path):
+    """G43 as a foreachBatch co-consumer: stream a corpus in 3 micro-batches
+    with history_dir set. The resolved SCD2 table must (a) carry exactly one
+    open row per email whose assignment equals the final streamed
+    clustering, (b) satisfy the SCD2 interval invariants, and (c) survive a
+    full replay drain unchanged."""
+    from email_address_parser_spark.streaming.extract_stream import (
+        read_transcript_stream,
+    )
+    from email_address_parser_spark.streaming.incremental_stream import (
+        HISTORY_STATE_TABLES,
+        bootstrap_history_state,
+        bootstrap_state,
+        read_state,
+        streaming_cluster_maintenance,
+    )
+    from email_address_parser_spark.synth import synthesize
+
+    corpus = synthesize(n_convs=60, turns_per_conv=5, n_entities=18, seed=31)
+    df = spark.createDataFrame(corpus.transcripts)
+    land = f"{tmp_path}/landing"
+    h = F.pmod(F.xxhash64("conv_id"), F.lit(3))
+    for k in range(3):
+        df.where(h == k).coalesce(1).write.mode("append").parquet(land)
+
+    fold_kwargs = dict(hot_threshold=25, target_block_size=16)
+    state_dir, history_dir = f"{tmp_path}/state", f"{tmp_path}/history"
+    bootstrap_state(spark, df.limit(0), state_dir, **fold_kwargs)
+    bootstrap_history_state(spark, read_state(spark, state_dir), history_dir)
+    q = streaming_cluster_maintenance(
+        read_transcript_stream(spark, land, max_files_per_trigger=1),
+        state_dir,
+        f"{tmp_path}/ckpt",
+        history_dir=history_dir,
+        **fold_kwargs,
+    )
+    q.awaitTermination()
+
+    hist = read_state(spark, history_dir, tables=HISTORY_STATE_TABLES)[
+        "history"
+    ].collect()
+    opens = {r.email: r for r in hist if r.is_current}
+    clusters = {
+        (r.email, r.cluster_id)
+        for r in read_state(spark, state_dir)["clusters"].collect()
+    }
+    # (a) one open row per email, matching the final clustering
+    assert {(e, r.cluster_id) for e, r in opens.items()} == clusters
+    assert all(r.valid_to is None for r in opens.values())
+    # (b) SCD2 invariants per email: closed intervals are disjoint, ordered,
+    # and each closure's valid_to equals its successor's valid_from
+    by_email = {}
+    for r in hist:
+        by_email.setdefault(r.email, []).append(r)
+    for email, rows in by_email.items():
+        rows.sort(key=lambda r: r.valid_from)
+        assert sum(1 for r in rows if r.is_current) == 1
+        assert rows[-1].is_current
+        for a, b in zip(rows, rows[1:]):
+            assert not a.is_current and a.valid_to == b.valid_from
+            assert a.cluster_id != b.cluster_id or a.valid_to != a.valid_from
+
+    # (c) replay drain from a fresh checkpoint: re-folds are no-ops
+    q2 = streaming_cluster_maintenance(
+        read_transcript_stream(spark, land, max_files_per_trigger=8),
+        state_dir,
+        f"{tmp_path}/ckpt2",
+        history_dir=history_dir,
+        **fold_kwargs,
+    )
+    q2.awaitTermination()
+    again = read_state(spark, history_dir, tables=HISTORY_STATE_TABLES)[
+        "history"
+    ].collect()
+    assert {tuple(r) for r in again} == {tuple(r) for r in hist}
