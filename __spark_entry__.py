@@ -84,6 +84,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "dotless_eq", "score",
         ),
         "er_edges": lambda spark, sf: match_edges(_scored(spark, sf)),
+        # hard-negative mining for the ER training loop: the near-miss band
+        # just under the match threshold, globally top-k by closeness (a
+        # TakeOrderedAndProject — no full sort at scale), total order so
+        # the cut is deterministic. These are the pairs an active-learning
+        # annotator or a pairwise-classifier trainer wants first.
+        "er_hard_negatives": lambda spark, sf: (
+            _scored(spark, sf)
+            .where((F.col("score") >= 0.70) & (F.col("score") < 0.90))
+            .orderBy(F.col("score").desc(), "email_a", "email_b")
+            .limit(500)
+            .select("email_a", "email_b", "jw_local", "lev_local", "score")
+        ),
         "er_clusters": lambda spark, sf: (
             lambda m: cluster_mentions(m, match_edges(score_pairs(
                 candidate_pairs(m, hot_threshold=1 << 40)
@@ -1246,6 +1258,10 @@ def oracle_sql() -> dict[str, str]:
         "er_candidate_pairs": _ORACLE_PAIRS + "SELECT email_a, email_b FROM pairs",
         "er_pair_features": _ORACLE_PAIRS
         + "SELECT email_a, email_b, jw_local, lev_local, dom_edit, dotless_eq, score FROM scored",
+        "er_hard_negatives": _ORACLE_PAIRS
+        + "SELECT email_a, email_b, jw_local, lev_local, score FROM scored "
+        + "WHERE score >= 0.70 AND score < 0.90 "
+        + "ORDER BY score DESC, email_a, email_b LIMIT 500",
         "er_edges": _ORACLE_PAIRS
         + """SELECT email_a AS src, email_b AS dst, score FROM scored
              WHERE score >= 0.90""",

@@ -256,3 +256,21 @@ def test_funnel_stages_share_key_partitioning(spark):
     plan = executed_plan(df)
     for m in re.finditer(r"Exchange hashpartitioning\(([a-z_]+)#", plan):
         assert m.group(1) == "user_id", plan
+
+
+def test_hard_negatives_plans_take_ordered(spark):
+    """G44: the near-miss band's global top-k must be TakeOrderedAndProject
+    (per-partition heaps over the scored pair stream), never a
+    single-partition full sort of every scored pair."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plan_test", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from email_address_parser_spark.plans import executed_plan
+
+    df = mod.queries()["er_hard_negatives"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    assert "TakeOrderedAndProject" in executed_plan(df)
