@@ -62,4 +62,16 @@ def register_er_views(
             "er_golden_records"
         )
         views.append("er_golden_records")
+
+        # G43: the SCD2 membership timeline. With only one epoch in view
+        # this is the snapshot (every assignment open from epoch 0); a
+        # deployment folds per-epoch assignments via
+        # streaming_cluster_maintenance(history_dir=...) and registers the
+        # resolved state table here instead.
+        from .operators.history import snapshot_history
+
+        snapshot_history(
+            clusters.select("email", "cluster_id"), 0
+        ).createOrReplaceTempView("er_membership_history")
+        views.append("er_membership_history")
     return views

@@ -47,3 +47,18 @@ def test_sql_views_agree_with_dataframes(spark):
     assert golden.n_clusters == n_clusters  # one golden record per cluster
     assert golden.total_members == n_uniq   # members partition the emails
     assert golden.min_top >= 1
+
+    hist = spark.sql(
+        """SELECT count(*) AS n,
+                  sum(CASE WHEN is_current THEN 1 ELSE 0 END) AS n_open,
+                  max(valid_from) AS max_from
+           FROM er_membership_history"""
+    ).collect()[0]
+    assert hist.n == n_uniq == hist.n_open  # snapshot: one open row per email
+    assert hist.max_from == 0
+    agree = spark.sql(
+        """SELECT count(*) AS n FROM er_membership_history h
+           JOIN er_clusters c ON h.email = c.email
+           WHERE h.cluster_id = c.cluster_id AND h.is_current"""
+    ).collect()[0].n
+    assert agree == n_uniq  # open rows mirror the clustering
