@@ -130,6 +130,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generative ground truth (match_key equality) — the BASELINE.json
         # acceptance metric as an oracle-checked driver query
         "er_match_f1": _er_match_f1,
+        # G45: B-cubed cluster quality (per-item metric) — the engine
+        # clustering AND the exact-canonical-only ablation vs the labeled
+        # truth; the ablation row quantifies the recall the fuzzy channels buy
+        "er_bcubed": _er_bcubed,
         # G40: survivorship — one golden record per cluster (counts +
         # mention-weighted mode of domain_canon, ties lexicographic)
         "er_golden_record": _er_golden_record,
@@ -297,6 +301,39 @@ def _er_match_f1(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("f1"),
         )
+    )
+
+
+def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (operators/evaluation.py) of two
+    clusterings against the labeled truth (testdata.truth_labels):
+
+      * `engine` — the full blocking→scoring→CC pipeline. Expected 1.0
+        everywhere (the er_clusters triple-match certifies engine ==
+        truth clustering, which licenses the oracle's match-key replay).
+      * `exact_canonical` — the ablation that stops at exact-canonical
+        identity (min email per (local_canon, domain_canon)); its B³
+        recall < 1 is exactly the domain-typo recall the fuzzy + cross-
+        domain channels buy, now measured per-item instead of pairwise.
+    """
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.evaluation import bcubed
+    from email_address_parser_spark.sources.testdata import truth_labels
+    from pyspark.sql.window import Window
+
+    m = _mentions(spark, sf)
+    truth = truth_labels(spark, sf)
+    engine = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    exactc = uniq_valid_mentions(m).select(
+        "email",
+        F.min("email")
+        .over(Window.partitionBy("local_canon", "domain_canon"))
+        .alias("cluster_id"),
+    )
+    return bcubed(engine, truth, label="engine").unionByName(
+        bcubed(exactc, truth, label="exact_canonical")
     )
 
 
@@ -1339,6 +1376,55 @@ def oracle_sql() -> dict[str, str]:
             round(covered_true_pairs / CAST(greatest(true_pairs, 1) AS DOUBLE),
                 6) AS pair_completeness
         FROM n, cand, t""",
+        # G45 B-cubed: the 'engine' replay (min email per truth match_key) is
+        # licensed by the er_clusters triple-match; 'exact_canonical' replays
+        # the string-identity ablation directly. Same cell/size/sum shapes as
+        # the Spark side so the 6-decimal rounds agree.
+        "er_bcubed": MENTIONS_EXPECTED_CTE
+        + """,
+        uniq AS (
+            SELECT DISTINCT email, local_canon, domain_canon, match_key
+            FROM mentions_expected WHERE valid_lax
+        ),
+        labeled AS (
+            SELECT 'engine' AS system,
+                   min(email) OVER (PARTITION BY match_key) AS cluster_id,
+                   match_key
+            FROM uniq
+            UNION ALL
+            SELECT 'exact_canonical' AS system,
+                   min(email) OVER (PARTITION BY local_canon, domain_canon),
+                   match_key
+            FROM uniq
+        ),
+        cells AS (
+            SELECT system, cluster_id, match_key,
+                   CAST(count(*) AS BIGINT) AS n_ck
+            FROM labeled GROUP BY system, cluster_id, match_key
+        ),
+        pred_sz AS (
+            SELECT system, cluster_id, CAST(sum(n_ck) AS BIGINT) AS n_c
+            FROM cells GROUP BY system, cluster_id
+        ),
+        truth_sz AS (
+            SELECT system, match_key, CAST(sum(n_ck) AS BIGINT) AS n_k
+            FROM cells GROUP BY system, match_key
+        ),
+        stats AS (
+            SELECT c.system,
+                   CAST(sum(n_ck) AS BIGINT) AS n_emails,
+                   sum((CAST(n_ck AS DOUBLE) * n_ck) / n_c) AS _sp,
+                   sum((CAST(n_ck AS DOUBLE) * n_ck) / n_k) AS _sr
+            FROM cells c
+            JOIN pred_sz p ON c.system = p.system AND c.cluster_id = p.cluster_id
+            JOIN truth_sz t ON c.system = t.system AND c.match_key = t.match_key
+            GROUP BY c.system
+        )
+        SELECT system, n_emails,
+               round(_sp / n_emails, 6) AS b3_precision,
+               round(_sr / n_emails, 6) AS b3_recall,
+               round(2.0 * _sp * _sr / (n_emails * (_sp + _sr)), 6) AS b3_f1
+        FROM stats""",
         "er_match_f1": _ORACLE_PAIRS
         + """,
         agg AS (
