@@ -134,6 +134,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering AND the exact-canonical-only ablation vs the labeled
         # truth; the ablation row quantifies the recall the fuzzy channels buy
         "er_bcubed": _er_bcubed,
+        # G47: conversation co-mention affinity graph — context signal over
+        # the transcript structure (capped per-conversation quadratic)
+        "er_comention": _er_comention,
         # G40: survivorship — one golden record per cluster (counts +
         # mention-weighted mode of domain_canon, ties lexicographic)
         "er_golden_record": _er_golden_record,
@@ -335,6 +338,18 @@ def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
     return bcubed(engine, truth, label="engine").unionByName(
         bcubed(exactc, truth, label="exact_canonical")
     )
+
+
+def _er_comention(spark: SparkSession, sf: str) -> DataFrame:
+    """Conversation co-mention affinity edges (operators/comention.py):
+    distinct conversations in which both addresses appear, over
+    conversations with ≤ 16 distinct addresses — the transcript-structure
+    context signal a downstream scorer consumes alongside the string
+    features (and the SAME capped per-group quadratic shape as the
+    blocking channels, so it holds at 10^12 turns)."""
+    from email_address_parser_spark.operators.comention import comention_edges
+
+    return comention_edges(_mentions(spark, sf))
 
 
 def _er_incremental(spark: SparkSession, sf: str) -> DataFrame:
@@ -1376,6 +1391,25 @@ def oracle_sql() -> dict[str, str]:
             round(covered_true_pairs / CAST(greatest(true_pairs, 1) AS DOUBLE),
                 6) AS pair_completeness
         FROM n, cand, t""",
+        # G47 co-mention affinity: distinct (conv, email) -> small-conv cap
+        # -> per-conv pair join -> pair count; same shapes as the Spark side
+        "er_comention": MENTIONS_EXPECTED_CTE
+        + """,
+        ce AS (
+            SELECT DISTINCT conv_id, email
+            FROM mentions_expected WHERE valid_lax
+        ),
+        small AS (
+            SELECT conv_id FROM ce GROUP BY conv_id HAVING count(*) <= 16
+        ),
+        kept AS (
+            SELECT ce.conv_id, ce.email FROM ce JOIN small USING (conv_id)
+        )
+        SELECT a.email AS email_a, b.email AS email_b,
+               CAST(count(*) AS BIGINT) AS n_convs
+        FROM kept a
+        JOIN kept b ON a.conv_id = b.conv_id AND a.email < b.email
+        GROUP BY a.email, b.email""",
         # G45 B-cubed: the 'engine' replay (min email per truth match_key) is
         # licensed by the er_clusters triple-match; 'exact_canonical' replays
         # the string-identity ablation directly. Same cell/size/sum shapes as
