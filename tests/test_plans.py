@@ -274,3 +274,43 @@ def test_hard_negatives_plans_take_ordered(spark):
     df = mod.queries()["er_hard_negatives"](spark, SF_DIR)
     df.write.format("noop").mode("overwrite").save()
     assert "TakeOrderedAndProject" in executed_plan(df)
+
+
+def test_comention_all_joins_are_equi_joins(spark):
+    """G47: the a.email < b.email ordering predicate must ride the conv_id
+    equi-join as a post-condition — never degrade the pair step to a
+    CartesianProduct / BroadcastNestedLoopJoin (which would be the full
+    |emails|^2 cross product at corpus scale)."""
+    from email_address_parser_spark.operators.comention import comention_edges
+    from email_address_parser_spark.plans import executed_plan
+
+    from pyspark.sql import functions as F
+
+    m = spark.createDataFrame(
+        [("c1", "a@x.com"), ("c1", "b@x.com"), ("c2", "a@x.com")],
+        "conv_id string, email string",
+    ).withColumn("valid_lax", F.lit(True))
+    df = comention_edges(m)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_bcubed_is_join_free_of_cross_products(spark):
+    """G45: cells/size-dim joins are keyed equi-joins and the reduce is a
+    single-row aggregate — no cross product may appear anywhere."""
+    from email_address_parser_spark.operators.evaluation import bcubed
+    from email_address_parser_spark.plans import executed_plan
+
+    pred = spark.createDataFrame(
+        [("a", "1"), ("b", "1"), ("c", "2")], "email string, cluster_id string"
+    )
+    truth = spark.createDataFrame(
+        [("a", "X"), ("b", "Y"), ("c", "Y")], "email string, match_key string"
+    )
+    df = bcubed(pred, truth)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
