@@ -137,6 +137,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G47: conversation co-mention affinity graph — context signal over
         # the transcript structure (capped per-conversation quadratic)
         "er_comention": _er_comention,
+        # G48: channel attribution of match edges — which candidate channel
+        # each accepted edge came from, with its truth composition
+        "er_channel_contribution": _er_channel_contribution,
         # G40: survivorship — one golden record per cluster (counts +
         # mention-weighted mode of domain_canon, ties lexicographic)
         "er_golden_record": _er_golden_record,
@@ -337,6 +340,46 @@ def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
     )
     return bcubed(engine, truth, label="engine").unionByName(
         bcubed(exactc, truth, label="exact_canonical")
+    )
+
+
+def _er_channel_contribution(spark: SparkSession, sf: str) -> DataFrame:
+    """Channel attribution of the accepted match edges (score ≥ 0.90): how
+    many edges each candidate channel contributed, and how many of them are
+    TRUE matches under the labeled truth — the per-channel recall/precision
+    audit an ER operator reads before retuning caps or thresholds.
+
+    No tag is plumbed through the hot blocking path: the four channels
+    STRATIFY the pair space by (same/different canonical domain) ×
+    (same/different dotless local) — the disjointness invariant pinned in
+    tests/test_blocking_channels.py — so an edge's channel is a pure
+    function of its feature columns (dom_edit = 0 ⟺ same domain;
+    dotless_eq splits the cross-domain channels). Same CASE on both
+    engines."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    uniq = truth_labels(spark, sf)
+    edges = _scored(spark, sf).where(F.col("score") >= 0.90)
+    j = (
+        edges.join(
+            uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+            "email_a",
+        ).join(
+            uniq.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+            "email_b",
+        )
+    )
+    channel = (
+        F.when(F.col("dom_edit") == 0, F.lit("same_domain"))
+        .when(F.col("dotless_eq") == 1.0, F.lit("cross_domain_local"))
+        .otherwise(F.lit("cross_domain_lsh"))
+    )
+    return (
+        j.groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias("n_true"),
+        )
     )
 
 
@@ -1391,6 +1434,19 @@ def oracle_sql() -> dict[str, str]:
             round(covered_true_pairs / CAST(greatest(true_pairs, 1) AS DOUBLE),
                 6) AS pair_completeness
         FROM n, cand, t""",
+        # G48 channel attribution: same scored CTE; channel is a pure
+        # function of the features because the channels stratify the pair
+        # space (dom_edit = 0 <=> same domain; dotless_eq splits the rest)
+        "er_channel_contribution": _ORACLE_PAIRS
+        + """
+        SELECT CASE WHEN dom_edit = 0 THEN 'same_domain'
+                    WHEN dotless_eq = 1.0 THEN 'cross_domain_local'
+                    ELSE 'cross_domain_lsh' END AS channel,
+               CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_true
+        FROM scored WHERE score >= 0.90
+        GROUP BY 1""",
         # G47 co-mention affinity: distinct (conv, email) -> small-conv cap
         # -> per-conv pair join -> pair count; same shapes as the Spark side
         "er_comention": MENTIONS_EXPECTED_CTE
