@@ -130,6 +130,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generative ground truth (match_key equality) — the BASELINE.json
         # acceptance metric as an oracle-checked driver query
         "er_match_f1": _er_match_f1,
+        # the full tuning curve behind that single cut: P/R/F1 at every
+        # 0.01-wide score bucket in one pass (map-side collapse to ≤101
+        # rows, then cumulative windows over the tiny bucket dim)
+        "er_threshold_sweep": _er_threshold_sweep,
+        # data-quality provenance: mentions + strict/lax parse rates per
+        # (role, tool) producer cell of the transcript surface
+        "er_mention_provenance": _er_mention_provenance,
         # G45: B-cubed cluster quality (per-item metric) — the engine
         # clustering AND the exact-canonical-only ablation vs the labeled
         # truth; the ablation row quantifies the recall the fuzzy channels buy
@@ -307,6 +314,116 @@ def _er_match_f1(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("f1"),
         )
+    )
+
+
+def _er_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """Precision/recall/F1 at EVERY candidate threshold in one pass — the
+    tuning curve behind er_match_f1's single 0.90 cut (and the report that
+    justifies retuning it after the G46 trained scorer or a cap change).
+
+    Scale shape: one groupBy over ~100 score buckets (map-side partial agg
+    collapses the 2.8M-pair stream to ≤101 rows before the exchange), then
+    cumulative windows over those ≤101 rows — the windows are driver-trivial
+    by construction, never a scan of the pair set. Buckets are
+    floor(score*100); score is already rounded to 6dp on both engines, so
+    the bucket boundary is bit-deterministic and the DuckDB twin replays it
+    exactly. tp/fp/fn at threshold t count pairs with score >= t (cumulative
+    from the top bucket down); fn is relative to the candidate set's true
+    pairs, exactly like er_match_f1."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+    from pyspark.sql.window import Window
+
+    m = _mentions(spark, sf)
+    scored = score_pairs(candidate_pairs(m, hot_threshold=1 << 40))
+    uniq = truth_labels(spark, sf)
+    j = scored.join(
+        uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+        "email_a",
+    ).join(
+        uniq.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+        "email_b",
+    )
+    buckets = j.groupBy(
+        F.floor(F.col("score") * F.lit(100)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias("true_pairs"),
+    )
+    w_desc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "bucket",
+        "pairs",
+        "true_pairs",
+        F.sum("pairs").over(w_desc).alias("_cp"),
+        F.sum("true_pairs").over(w_desc).alias("_ct"),
+        F.sum("true_pairs").over(w_all).alias("_tt"),
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast("double")
+    r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast("double")
+    return (
+        cum.select(
+            "bucket",
+            (F.col("bucket") / F.lit(100.0)).alias("threshold"),
+            "pairs",
+            "true_pairs",
+            F.col("_ct").alias("tp"),
+            (F.col("_cp") - F.col("_ct")).alias("fp"),
+            (F.col("_tt") - F.col("_ct")).alias("fn"),
+        )
+        .withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            "bucket",
+            "threshold",
+            "pairs",
+            "true_pairs",
+            "tp",
+            "fp",
+            "fn",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+def _er_mention_provenance(spark: SparkSession, sf: str) -> DataFrame:
+    """Mention provenance over the transcript surface: per (role, tool) cell,
+    how many candidate mentions each channel of the conversation produced and
+    what fraction parse strict/lax — the data-quality report an operator
+    reads to find which producer (user text, assistant text, tool output)
+    emits malformed addresses.
+
+    Exercises the input_hint's `role` and `tool` columns end-to-end: they
+    ride extract_mentions' `passthrough` through the fused Arrow stage (no
+    join back to transcripts), and the groupBy is 3×3-cardinality — a pure
+    map-side partial agg, one ~9-row exchange regardless of corpus size."""
+    m = extract_mentions(
+        derive_transcripts(spark, sf), passthrough=("role", "tool")
+    )
+    agg = m.groupBy(
+        "role", F.coalesce(F.col("tool"), F.lit("none")).alias("tool")
+    ).agg(
+        F.count(F.lit(1)).alias("n_mentions"),
+        F.sum(F.col("valid_strict").cast("long")).alias("n_strict"),
+        F.sum(F.col("valid_lax").cast("long")).alias("n_lax"),
+        F.countDistinct("email").alias("n_distinct_emails"),
+    )
+    return agg.withColumn(
+        "lax_rate",
+        F.round(F.col("n_lax") / F.col("n_mentions").cast("double"), 6),
     )
 
 
@@ -1515,6 +1632,57 @@ def oracle_sql() -> dict[str, str]:
                round(_sr / n_emails, 6) AS b3_recall,
                round(2.0 * _sp * _sr / (n_emails * (_sp + _sr)), 6) AS b3_f1
         FROM stats""",
+        # one-pass PR curve: same scored CTE; buckets are floor(score*100)
+        # (score rounded 6dp on both engines => bit-deterministic boundary),
+        # cumulative sums descend from the top bucket
+        "er_threshold_sweep": _ORACLE_PAIRS
+        + """,
+        tsw_buckets AS (
+            SELECT CAST(floor(score * 100) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS pairs,
+                CAST(sum(CASE WHEN mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT)
+                    AS true_pairs
+            FROM scored GROUP BY 1
+        ),
+        tsw_cum AS (
+            SELECT bucket, pairs, true_pairs,
+                sum(pairs) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cp,
+                sum(true_pairs) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _ct,
+                sum(true_pairs) OVER () AS _tt
+            FROM tsw_buckets
+        ),
+        tsw_pr AS (
+            SELECT bucket, bucket / 100.0 AS threshold, pairs, true_pairs,
+                CAST(_ct AS BIGINT) AS tp,
+                CAST(_cp - _ct AS BIGINT) AS fp,
+                CAST(_tt - _ct AS BIGINT) AS fn,
+                _ct / CAST(greatest(_cp, 1) AS DOUBLE) AS _p,
+                _ct / CAST(greatest(_tt, 1) AS DOUBLE) AS _r
+            FROM tsw_cum
+        )
+        SELECT bucket, threshold, pairs, true_pairs, tp, fp, fn,
+            round(_p, 6) AS precision, round(_r, 6) AS recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS f1
+        FROM tsw_pr""",
+        # provenance: the expected-mentions view joined back to its own
+        # transcript row (one mention per turn) for role/tool
+        "er_mention_provenance": MENTIONS_EXPECTED_CTE
+        + """
+        SELECT t.role, coalesce(t.tool, 'none') AS tool,
+            CAST(count(*) AS BIGINT) AS n_mentions,
+            CAST(sum(CASE WHEN m.valid_strict THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_strict,
+            CAST(sum(CASE WHEN m.valid_lax THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_lax,
+            CAST(count(DISTINCT m.email) AS BIGINT) AS n_distinct_emails,
+            round(sum(CASE WHEN m.valid_lax THEN 1 ELSE 0 END)
+                  / CAST(count(*) AS DOUBLE), 6) AS lax_rate
+        FROM mentions_expected m
+        JOIN transcripts t USING (conv_id, turn_idx)
+        GROUP BY 1, 2""",
         "er_match_f1": _ORACLE_PAIRS
         + """,
         agg AS (

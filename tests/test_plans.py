@@ -314,3 +314,48 @@ def test_bcubed_is_join_free_of_cross_products(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def _entry_mod():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry_for_plan_test2", "/root/repo/__spark_entry__.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_threshold_sweep_windows_run_over_bucket_dim(spark):
+    """er_threshold_sweep: the pair stream must collapse to <=101 bucket rows
+    via a PARTIAL aggregate below its exchange; the cumulative windows (and
+    their single-partition exchange) may only ever see that bucket dim,
+    never the scored pairs."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_threshold_sweep"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # map-side combine on the bucket groupBy (partial_count/partial_sum)
+    assert "partial_count" in plan
+    # the full-frame total (_tt) and the running sums are Window nodes; the
+    # only single-partition exchange in the plan is the one feeding them,
+    # i.e. it sits ABOVE the bucket aggregate, carrying <=101 rows
+    assert "Window" in plan
+    assert plan.count("Exchange SinglePartition") <= 2
+
+
+def test_mention_provenance_single_arrow_stage_partial_agg(spark):
+    """er_mention_provenance: role/tool ride extract_mentions' passthrough —
+    exactly ONE ArrowEvalPython (the fused extract+parse stage, no join back
+    to transcripts) and a map-side partial agg on the 3x3 cell."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_mention_provenance"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert plan.count("ArrowEvalPython") == 1
+    assert "partial_count" in plan
