@@ -137,6 +137,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-quality provenance: mentions + strict/lax parse rates per
         # (role, tool) producer cell of the transcript surface
         "er_mention_provenance": _er_mention_provenance,
+        # blocking skew-cost report: top-20 blocks by size with quadratic
+        # pair cost and cost share — the input to the hot_threshold choice
+        "er_block_skew": _er_block_skew,
+        # longitudinal entity activity: per (cluster, month) mention and
+        # conversation counts over the event-time ts column
+        "er_entity_activity": _er_entity_activity,
         # G45: B-cubed cluster quality (per-item metric) — the engine
         # clustering AND the exact-canonical-only ablation vs the labeled
         # truth; the ablation row quantifies the recall the fuzzy channels buy
@@ -424,6 +430,73 @@ def _er_mention_provenance(spark: SparkSession, sf: str) -> DataFrame:
     return agg.withColumn(
         "lax_rate",
         F.round(F.col("n_lax") / F.col("n_mentions").cast("double"), 6),
+    )
+
+
+def _er_block_skew(spark: SparkSession, sf: str) -> DataFrame:
+    """Blocking skew-cost report: the top-20 exact-channel blocks by size,
+    each with its quadratic pair cost n·(n−1)/2 and share of the total pair
+    cost — the diagnostic an operator reads BEFORE setting the salted
+    blocking's hot_threshold (blocking.py): the blocks this surfaces are
+    exactly the ones salting must split at 10^12 turns.
+
+    Scale shape: one groupBy over |blocks| (map-side partial agg), a
+    broadcast of the single-row total, and a TakeOrderedAndProject for the
+    top-20 — the block dim is never sorted whole or collected. Integer
+    arithmetic uses DIV so DuckDB replays exactly."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+
+    u = uniq_valid_mentions(_mentions(spark, sf))
+    sizes = u.groupBy("domain_canon").agg(F.count(F.lit(1)).alias("n_emails"))
+    total = sizes.agg(
+        F.coalesce(
+            F.sum(F.expr("n_emails * (n_emails - 1) DIV 2")), F.lit(0)
+        ).alias("_total_cost")
+    )
+    return (
+        sizes.crossJoin(F.broadcast(total))
+        .select(
+            F.col("domain_canon").alias("block_key"),
+            "n_emails",
+            F.expr("n_emails * (n_emails - 1) DIV 2").alias("pair_cost"),
+            F.round(
+                F.expr("n_emails * (n_emails - 1) DIV 2")
+                / F.greatest(F.col("_total_cost"), F.lit(1)),
+                6,
+            ).alias("cost_share"),
+        )
+        .orderBy(F.col("n_emails").desc(), "block_key")
+        .limit(20)
+    )
+
+
+def _er_entity_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Entity activity timeline: per (resolved cluster, month) mention and
+    conversation counts — the longitudinal view of an identity across the
+    transcript corpus (when was this entity discussed, and in how many
+    threads). Exercises the input_hint's event-time `ts` column end-to-end:
+    it rides extract_mentions' `passthrough`, is formatted to a month key
+    with a Catalyst date_format, and never crosses the Python boundary.
+
+    Scale shape: mention stream ⋈ cluster assignment is a high-cardinality
+    email equi-join; the groupBy keys (cluster_id, month) are high-
+    cardinality too, so both exchanges partition evenly. No windows, no
+    collect."""
+    m = with_canonical(
+        extract_mentions(derive_transcripts(spark, sf), passthrough=("ts",))
+    )
+    clusters = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    return (
+        m.where(F.col("valid_lax"))
+        .select("email", "conv_id", F.date_format("ts", "yyyy-MM").alias("month"))
+        .join(clusters, "email")
+        .groupBy("cluster_id", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_mentions"),
+            F.countDistinct("conv_id").alias("n_conversations"),
+        )
     )
 
 
@@ -1632,6 +1705,46 @@ def oracle_sql() -> dict[str, str]:
                round(_sr / n_emails, 6) AS b3_recall,
                round(2.0 * _sp * _sr / (n_emails * (_sp + _sr)), 6) AS b3_f1
         FROM stats""",
+        # blocking skew-cost: distinct emails per exact-channel block key,
+        # quadratic pair cost via integer DIV, share against the broadcast
+        # scalar total, deterministic top-20
+        "er_block_skew": MENTIONS_EXPECTED_CTE
+        + """,
+        bsk_uniq AS (
+            SELECT DISTINCT email, domain_canon
+            FROM mentions_expected WHERE valid_lax
+        ),
+        bsk_sizes AS (
+            SELECT domain_canon AS block_key,
+                CAST(count(*) AS BIGINT) AS n_emails
+            FROM bsk_uniq GROUP BY 1
+        ),
+        bsk_tot AS (
+            SELECT CAST(coalesce(sum(n_emails * (n_emails - 1) // 2), 0)
+                AS BIGINT) AS _total_cost
+            FROM bsk_sizes
+        )
+        SELECT block_key, n_emails,
+            n_emails * (n_emails - 1) // 2 AS pair_cost,
+            round((n_emails * (n_emails - 1) // 2)
+                  / CAST(greatest(_total_cost, 1) AS DOUBLE), 6) AS cost_share
+        FROM bsk_sizes, bsk_tot
+        ORDER BY n_emails DESC, block_key LIMIT 20""",
+        # entity activity replay: ground-truth clusters (engine equality
+        # pinned by er_clusters) x the transcript row's event time
+        "er_entity_activity": _ORACLE_CLUSTERS
+        + """,
+        act AS (
+            SELECT c.cluster_id, strftime(t.ts, '%Y-%m') AS month, m.conv_id
+            FROM mentions_expected m
+            JOIN transcripts t USING (conv_id, turn_idx)
+            JOIN clusters c ON c.email = m.email
+            WHERE m.valid_lax
+        )
+        SELECT cluster_id, month,
+            CAST(count(*) AS BIGINT) AS n_mentions,
+            CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversations
+        FROM act GROUP BY 1, 2""",
         # one-pass PR curve: same scored CTE; buckets are floor(score*100)
         # (score rounded 6dp on both engines => bit-deterministic boundary),
         # cumulative sums descend from the top bucket

@@ -359,3 +359,31 @@ def test_mention_provenance_single_arrow_stage_partial_agg(spark):
     plan = executed_plan(df)
     assert plan.count("ArrowEvalPython") == 1
     assert "partial_count" in plan
+
+
+def test_block_skew_plans_take_ordered_and_broadcast_total(spark):
+    """er_block_skew: the top-20 must be TakeOrderedAndProject over the
+    block dim (never a global sort), and the single-row total must join by
+    broadcast (never a shuffled or nested-loop join of the block dim)."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_block_skew"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    # single-row total joined via BroadcastNestedLoopJoin (a 1-row cross
+    # join IS the broadcast pattern here) or folded by AQE — what must
+    # never appear is a shuffled join of the sizes dim against the total
+    assert "SortMergeJoin" not in plan
+
+
+def test_entity_activity_joins_are_equi_joins(spark):
+    """er_entity_activity: mention stream x cluster assignment must be an
+    email equi-join; no cross product anywhere in the timeline plan."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_entity_activity"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
