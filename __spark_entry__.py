@@ -263,6 +263,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # certifies fold == full re-dedup
         "dedup_keep_best_incr": _dedup_keep_best_incr,
         "er_blocking_metrics": _er_blocking_metrics,
+        # G53: meta-blocking — block purging + CBS weights + weighted node
+        # pruning over a token-blocking graph (kept AND pruned edges)
+        "er_metablocking": _er_metablocking,
+        # G54: Fellegi–Sunter agreement-pattern m/u estimation + LLR weights
+        # from the labeled candidate pairs (classical record-linkage theory)
+        "er_fs_weights": _er_fs_weights,
+        # G55: corpus-learned domain alias dimension (typo domain -> its
+        # most-populous near-spelling), computed on the domain dim only
+        "er_domain_aliases": _er_domain_aliases,
         "domain_kmv": _domain_kmv,
     }
 
@@ -498,6 +507,62 @@ def _er_entity_activity(spark: SparkSession, sf: str) -> DataFrame:
             F.countDistinct("conv_id").alias("n_conversations"),
         )
     )
+
+
+def _er_metablocking(spark: SparkSession, sf: str) -> DataFrame:
+    """G53: meta-blocking (operators/metablocking.py) — token-blocking graph
+    with block purging, CBS edge weights, and weighted-node-pruning verdicts.
+    The report row set keeps BOTH kept and pruned edges (the operator is the
+    audit of what pruning discards, the er_block_skew stance).
+
+    Scale shape: explode → two key-keyed aggregations (purge sizes, CBS
+    weights) → two node-keyed joins for the WNP means; every shuffle key is
+    high-cardinality and the purge cap bounds the self-join fan-out to
+    max_block²/2 rows per key."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.metablocking import metablock_pairs
+
+    return metablock_pairs(uniq_valid_mentions(_mentions(spark, sf)))
+
+
+def _scored_labeled(spark: SparkSession, sf: str) -> DataFrame:
+    """score_pairs output joined to the labeled truth (mk_a / mk_b) — the
+    shared input of er_match_f1-style metric queries and the FS estimator."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    m = _mentions(spark, sf)
+    scored = score_pairs(candidate_pairs(m, hot_threshold=1 << 40))
+    t = truth_labels(spark, sf)
+    return scored.join(
+        t.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+        "email_a",
+    ).join(
+        t.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+        "email_b",
+    )
+
+
+def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
+    """G54: Fellegi–Sunter m/u probabilities and log-likelihood-ratio weights
+    per agreement pattern (operators/fellegi_sunter.py) — the auditable
+    learned-weights counterpart of the hand-tuned score and the IRLS
+    classifier. One map-side-collapsing aggregation over the labeled pair
+    stream (≤16 result rows), totals via a 1-row broadcast aggregate."""
+    from email_address_parser_spark.operators.fellegi_sunter import fs_weights
+
+    return fs_weights(_scored_labeled(spark, sf))
+
+
+def _er_domain_aliases(spark: SparkSession, sf: str) -> DataFrame:
+    """G55: corpus-learned domain alias map (operators/aliases.py) — typo'd
+    domains resolved to their most-populous near-spelling neighbor. The
+    whole operator runs on the domain DIMENSION (gram-block join + edit
+    confirm), never on mentions; the result is the broadcast-sized alias
+    dim an ingest-time canonicalizer would consume."""
+    from email_address_parser_spark.operators.aliases import domain_aliases
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+
+    return domain_aliases(uniq_valid_mentions(_mentions(spark, sf)))
 
 
 def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
@@ -1745,6 +1810,119 @@ def oracle_sql() -> dict[str, str]:
             CAST(count(*) AS BIGINT) AS n_mentions,
             CAST(count(DISTINCT conv_id) AS BIGINT) AS n_conversations
         FROM act GROUP BY 1, 2""",
+        # G53 meta-blocking replay: same key construction (L:/D:/G: tokens,
+        # list_distinct grams), purge at 64, CBS count join, WNP means (one
+        # exact integer-sum/count division per node on both engines)
+        "er_metablocking": MENTIONS_EXPECTED_CTE
+        + """,
+        mb_uniq AS (
+            SELECT DISTINCT email, replace(local_canon, '.', '') AS dotless,
+                   domain_canon
+            FROM mentions_expected WHERE valid_lax
+        ),
+        mb_keys AS (
+            SELECT email, unnest(list_concat(
+                [concat('L:', dotless), concat('D:', domain_canon)],
+                list_distinct(list_transform(
+                    range(1, greatest(length(dotless) - 2, 1) + 1),
+                    i -> concat('G:', substr(dotless, CAST(i AS INT), 3))))
+            )) AS key
+            FROM mb_uniq
+        ),
+        mb_sizes AS (SELECT key, count(*) AS n FROM mb_keys GROUP BY key),
+        mb_ek AS (
+            SELECT k.email, k.key FROM mb_keys k
+            JOIN mb_sizes s USING (key) WHERE s.n <= 64
+        ),
+        mb_edges AS (
+            SELECT a.email AS email_a, b.email AS email_b,
+                   CAST(count(*) AS BIGINT) AS w
+            FROM mb_ek a JOIN mb_ek b
+              ON a.key = b.key AND a.email < b.email
+            GROUP BY 1, 2
+        ),
+        mb_means AS (
+            SELECT email, CAST(sum(w) AS DOUBLE) / count(*) AS mean_w
+            FROM (SELECT email_a AS email, w FROM mb_edges
+                  UNION ALL SELECT email_b AS email, w FROM mb_edges)
+            GROUP BY email
+        )
+        SELECT e.email_a, e.email_b, e.w,
+               (e.w >= ma.mean_w OR e.w >= mb.mean_w) AS kept
+        FROM mb_edges e
+        JOIN mb_means ma ON ma.email = e.email_a
+        JOIN mb_means mb ON mb.email = e.email_b""",
+        # G54 Fellegi–Sunter replay: same scored CTE, same agreement bits,
+        # add-half smoothing and ln/round(6) (the doc_collocations precedent)
+        "er_fs_weights": _ORACLE_PAIRS
+        + """,
+        fs_cells AS (
+            SELECT (dotless_eq = 1.0) AS g_dotless,
+                   (dom_edit = 0) AS g_domain,
+                   (lev_local <= 1) AS g_lev,
+                   (jw_local >= 0.94) AS g_jw,
+                   CAST(sum(CASE WHEN mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_match,
+                   CAST(sum(CASE WHEN mk_a = mk_b THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_unmatch
+            FROM scored GROUP BY 1, 2, 3, 4
+        ),
+        fs_tot AS (
+            SELECT CAST(sum(n_match) AS BIGINT) AS tot_match,
+                   CAST(sum(n_unmatch) AS BIGINT) AS tot_unmatch
+            FROM fs_cells
+        )
+        SELECT g_dotless, g_domain, g_lev, g_jw, n_match, n_unmatch,
+               round((n_match + 0.5) / (tot_match + 1.0), 6) AS m_prob,
+               round((n_unmatch + 0.5) / (tot_unmatch + 1.0), 6) AS u_prob,
+               round(ln(((n_match + 0.5) / (tot_match + 1.0))
+                        / ((n_unmatch + 0.5) / (tot_unmatch + 1.0))), 6)
+                   AS llr_weight
+        FROM fs_cells, fs_tot""",
+        # G55 domain-alias replay: domain dim + distinct 4-gram block join
+        # (purged at 10000), strict population orientation, levenshtein<=2,
+        # per-alias winner by (n_canon DESC, canonical ASC)
+        "er_domain_aliases": MENTIONS_EXPECTED_CTE
+        + """,
+        da_uniq AS (
+            SELECT DISTINCT email, domain_canon
+            FROM mentions_expected WHERE valid_lax
+        ),
+        da_dim AS (
+            SELECT domain_canon, CAST(count(*) AS BIGINT) AS n_emails
+            FROM da_uniq GROUP BY domain_canon
+        ),
+        da_grams AS (
+            SELECT domain_canon, n_emails, unnest(list_distinct(list_transform(
+                range(1, greatest(length(domain_canon) - 3, 1) + 1),
+                i -> substr(domain_canon, CAST(i AS INT), 4)))) AS gram
+            FROM da_dim
+        ),
+        da_gsz AS (SELECT gram, count(*) AS gn FROM da_grams GROUP BY gram),
+        da_g AS (
+            SELECT g.domain_canon, g.n_emails, g.gram FROM da_grams g
+            JOIN da_gsz s USING (gram) WHERE s.gn <= 10000
+        ),
+        da_cand AS (
+            SELECT DISTINCT a.domain_canon AS alias_domain,
+                   a.n_emails AS n_alias,
+                   b.domain_canon AS canonical_domain, b.n_emails AS n_canon
+            FROM da_g a JOIN da_g b
+              ON a.gram = b.gram AND a.n_emails < b.n_emails
+        ),
+        da_lev AS (
+            SELECT alias_domain, canonical_domain,
+                   CAST(levenshtein(alias_domain, canonical_domain) AS INT)
+                       AS edit,
+                   n_alias, n_canon
+            FROM da_cand
+            WHERE levenshtein(alias_domain, canonical_domain) <= 2
+        )
+        SELECT alias_domain, canonical_domain, edit, n_alias, n_canon
+        FROM (SELECT *, row_number() OVER (PARTITION BY alias_domain
+                  ORDER BY n_canon DESC, canonical_domain ASC) AS rn
+              FROM da_lev)
+        WHERE rn = 1""",
         # one-pass PR curve: same scored CTE; buckets are floor(score*100)
         # (score rounded 6dp on both engines => bit-deterministic boundary),
         # cumulative sums descend from the top bucket

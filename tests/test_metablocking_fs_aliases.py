@@ -1,0 +1,213 @@
+"""G53 meta-blocking, G54 Fellegi–Sunter weights, G55 domain aliases:
+hand-computable contracts on tiny synthetic dims."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from email_address_parser_spark.operators.aliases import domain_aliases
+from email_address_parser_spark.operators.fellegi_sunter import fs_weights
+from email_address_parser_spark.operators.metablocking import (
+    entity_block_keys,
+    metablock_pairs,
+)
+
+
+def _uniq(spark, rows):
+    return spark.createDataFrame(
+        rows, "email string, local_canon string, domain_canon string"
+    )
+
+
+# ---------------------------------------------------------------------------
+# G53 meta-blocking
+# ---------------------------------------------------------------------------
+
+
+def test_block_keys_shape(spark):
+    keys = {
+        r.key
+        for r in entity_block_keys(
+            _uniq(spark, [("a.b@x.com", "a.b", "x.com")])
+        ).collect()
+    }
+    # dotless local 'ab' is shorter than the gram width -> ONE gram = itself
+    assert keys == {"L:ab", "D:x.com", "G:ab"}
+
+
+def test_block_keys_grams_distinct(spark):
+    keys = [
+        r.key
+        for r in entity_block_keys(
+            _uniq(spark, [("aaaa@x.com", "aaaa", "x.com")])
+        ).collect()
+    ]
+    # 'aaaa' has two gram positions but one distinct gram
+    assert sorted(keys) == ["D:x.com", "G:aaa", "L:aaaa"]
+
+
+def test_purging_drops_giant_blocks(spark):
+    # 5 entities share domain 'big.com' (block size 5 > cap 4) and have
+    # disjoint locals -> after purging NO pairs remain
+    rows = [(f"u{i}xyz@big.com", f"u{i}xyz", "big.com") for i in range(5)]
+    out = metablock_pairs(_uniq(spark, rows), max_block=4)
+    assert out.count() == 0
+
+
+def test_cbs_weight_and_wnp(spark):
+    # a/b share local+grams (high weight); c shares only the domain with a
+    rows = [
+        ("john@x.com", "john", "x.com"),
+        ("jo.hn@y.com", "jo.hn", "y.com"),  # same dotless local as a
+        ("mary@x.com", "mary", "x.com"),
+    ]
+    out = {
+        (r.email_a, r.email_b): (r.w, r.kept)
+        for r in metablock_pairs(_uniq(spark, rows), max_block=4).collect()
+    }
+    # a-b share L:john + G:joh + G:ohn = weight 3; a-c share D:x.com = 1
+    ab = out[("jo.hn@y.com", "john@x.com")]
+    ac = out[("john@x.com", "mary@x.com")]
+    assert ab[0] == 3 and ac[0] == 1
+    # WNP: a's mean = 2 -> a-b (3 >= 2) kept; a-c (1 < 2) but c's mean is 1,
+    # so a-c survives via ITS weaker endpoint — both verdicts deterministic
+    assert ab[1] is True and ac[1] is True
+
+
+def test_wnp_prunes_below_both_means(spark):
+    # hub entity h has one strong edge (weight 3) and one weak (weight 1);
+    # the weak neighbor ALSO has a strong edge, so the weak edge is below
+    # both endpoint means and must be pruned
+    rows = [
+        ("anna1@p.com", "anna1", "p.com"),
+        ("anna2@q.com", "anna2", "q.com"),   # shares G:ann/G:nna with anna1
+        ("anna1@r.com", "anna1", "r.com"),   # strong vs anna1 (L + grams)
+        ("anna2@s.com", "anna2", "s.com"),   # strong vs anna2
+    ]
+    out = {
+        (r.email_a, r.email_b): (r.w, r.kept)
+        for r in metablock_pairs(_uniq(spark, rows), max_block=4).collect()
+    }
+    strong1 = out[("anna1@p.com", "anna1@r.com")]
+    strong2 = out[("anna2@q.com", "anna2@s.com")]
+    assert strong1[0] > 2 and strong1[1] and strong2[1]
+    # the cross pairs (anna1 vs anna2: shared grams only) are weaker than
+    # both endpoints' means
+    weak = [
+        v for k, v in out.items()
+        if k not in (("anna1@p.com", "anna1@r.com"), ("anna2@q.com", "anna2@s.com"))
+    ]
+    assert weak and all(not kept for _, kept in weak)
+
+
+def test_metablocking_partition_invariance(spark):
+    rows = [
+        (f"user{i:03d}@d{i % 3}.com", f"user{i:03d}", f"d{i % 3}.com")
+        for i in range(30)
+    ]
+    base = metablock_pairs(_uniq(spark, rows), max_block=16)
+    re = metablock_pairs(
+        _uniq(spark, rows).repartition(7, "email"), max_block=16
+    )
+    assert base.exceptAll(re).count() == 0 and re.exceptAll(base).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# G54 Fellegi–Sunter
+# ---------------------------------------------------------------------------
+
+
+def _labeled(spark, rows):
+    return spark.createDataFrame(
+        rows,
+        "email_a string, email_b string, jw_local double, lev_local int, "
+        "dom_edit int, dotless_eq double, mk_a string, mk_b string",
+    )
+
+
+def test_fs_weights_hand_computed(spark):
+    rows = [
+        # pattern (T,T,T,T): 2 matches, 0 unmatch
+        ("a", "b", 1.0, 0, 0, 1.0, "k1", "k1"),
+        ("c", "d", 1.0, 0, 0, 1.0, "k2", "k2"),
+        # pattern (F,T,F,F): 0 matches, 3 unmatch
+        ("e", "f", 0.5, 9, 0, 0.0, "k3", "k4"),
+        ("g", "h", 0.5, 9, 0, 0.0, "k5", "k6"),
+        ("i", "j", 0.5, 9, 0, 0.0, "k7", "k8"),
+    ]
+    out = {
+        (r.g_dotless, r.g_domain, r.g_lev, r.g_jw): r
+        for r in fs_weights(_labeled(spark, rows)).collect()
+    }
+    assert len(out) == 2
+    hi = out[(True, True, True, True)]
+    lo = out[(False, True, False, False)]
+    assert (hi.n_match, hi.n_unmatch) == (2, 0)
+    assert (lo.n_match, lo.n_unmatch) == (0, 3)
+    # add-half smoothing: m=(2+.5)/(2+1)=.833333, u=(0+.5)/(3+1)=.125
+    assert abs(hi.m_prob - round(2.5 / 3, 6)) < 1e-9
+    assert abs(hi.u_prob - 0.125) < 1e-9
+    assert abs(hi.llr_weight - round(math.log((2.5 / 3) / 0.125), 6)) < 1e-9
+    # the non-match pattern's weight must be negative, the match positive
+    assert hi.llr_weight > 0 > lo.llr_weight
+
+
+def test_fs_weights_counts_exhaustive_probs_bounded(spark):
+    rows = [
+        ("a", "b", 1.0, 0, 0, 1.0, "k1", "k1"),
+        ("c", "d", 0.9, 1, 2, 0.0, "k1", "k2"),
+        ("e", "f", 0.2, 7, 5, 0.0, "k3", "k4"),
+    ]
+    out = fs_weights(_labeled(spark, rows))
+    got = out.agg(
+        F.sum("n_match").alias("nm"), F.sum("n_unmatch").alias("nu")
+    ).collect()[0]
+    # counts partition the labeled pairs exactly
+    assert (got.nm, got.nu) == (1, 2)
+    # smoothed probabilities are strictly inside (0, 1) per pattern
+    rows_out = out.collect()
+    assert len(rows_out) == 3
+    assert all(0.0 < r.m_prob < 1.0 and 0.0 < r.u_prob < 1.0 for r in rows_out)
+
+
+# ---------------------------------------------------------------------------
+# G55 domain aliases
+# ---------------------------------------------------------------------------
+
+
+def test_domain_alias_orientation_and_winner(spark):
+    rows = (
+        # gmail.com: 5 users; gmial.com (transposition, edit 2): 2 users;
+        # gmapl.com (substitution, edit 1): 3 users. gmial is ALSO edit-2
+        # from gmapl — the winner rule must pick gmail (larger population).
+        [(f"u{i}@gmail.com", f"u{i}", "gmail.com") for i in range(5)]
+        + [(f"t{i}@gmial.com", f"t{i}", "gmial.com") for i in range(2)]
+        + [(f"p{i}@gmapl.com", f"p{i}", "gmapl.com") for i in range(3)]
+    )
+    out = {
+        r.alias_domain: (r.canonical_domain, r.edit, r.n_alias, r.n_canon)
+        for r in domain_aliases(_uniq(spark, rows)).collect()
+    }
+    # both low-population domains alias to gmail.com, never the reverse
+    assert out["gmial.com"][0] == "gmail.com" and out["gmial.com"][2:] == (2, 5)
+    assert out["gmapl.com"][0] == "gmail.com"
+    assert "gmail.com" not in out
+
+
+def test_domain_alias_no_tie_aliasing(spark):
+    # equal populations carry no direction -> no alias rows at all
+    rows = [
+        ("a@one.com", "a", "one.com"),
+        ("b@oze.com", "b", "oze.com"),
+    ]
+    assert domain_aliases(_uniq(spark, rows)).count() == 0
+
+
+def test_domain_alias_edit_cap(spark):
+    # population gradient exists but spelling is too far -> excluded
+    rows = [(f"u{i}@alpha.com", f"u{i}", "alpha.com") for i in range(4)] + [
+        ("x@omega.net", "x", "omega.net")
+    ]
+    assert domain_aliases(_uniq(spark, rows), max_edit=2).count() == 0
