@@ -387,3 +387,47 @@ def test_entity_activity_joins_are_equi_joins(spark):
     df.write.format("noop").mode("overwrite").save()
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
+
+
+def test_fs_weights_partial_agg_and_broadcast_totals(spark):
+    """er_fs_weights: the labeled pair stream must collapse map-side to the
+    <=16 pattern cells (partial agg below the exchange), and the 1-row
+    totals must ride a broadcast — never a shuffled join of the cells."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_fs_weights"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "partial_sum" in plan
+    assert "CartesianProduct" not in plan
+    # the totals crossJoin is a 1-row BroadcastNestedLoopJoin (the broadcast
+    # pattern for an unconditioned join); a SortMergeJoin of the cell dim
+    # against the totals would mean the broadcast hint was lost
+    assert "SortMergeJoin" not in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_metablocking_partial_agg_no_cross_product(spark):
+    """er_metablocking: the CBS weight count must combine map-side before
+    the pair exchange, and nothing in the plan may degenerate to a cross
+    product (the key join is an equi-join on the block key)."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_metablocking"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "partial_count" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_domain_aliases_runs_on_dim_only(spark):
+    """er_domain_aliases: every join is an equi-join (gram block join +
+    winner window) — no cross product of the domain dim, and the mention
+    stream is touched exactly once (the uniq groupBy)."""
+    from email_address_parser_spark.plans import executed_plan
+
+    df = _entry_mod().queries()["er_domain_aliases"](spark, SF_DIR)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
