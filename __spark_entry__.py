@@ -269,6 +269,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G54: Fellegi–Sunter agreement-pattern m/u estimation + LLR weights
         # from the labeled candidate pairs (classical record-linkage theory)
         "er_fs_weights": _er_fs_weights,
+        # G56: held-out FS evaluation — weights from a deterministic md5
+        # half of the labeled pairs, LLR decision scored on the other half
+        "er_fs_match_f1": _er_fs_match_f1,
         # G55: corpus-learned domain alias dimension (typo domain -> its
         # most-populous near-spelling), computed on the domain dim only
         "er_domain_aliases": _er_domain_aliases,
@@ -551,6 +554,18 @@ def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.fellegi_sunter import fs_weights
 
     return fs_weights(_scored_labeled(spark, sf))
+
+
+def _er_fs_match_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """G56: held-out evaluation of the Fellegi–Sunter decision rule — weights
+    estimated on a deterministic md5 half of the labeled pairs, the
+    likelihood-ratio test (llr >= 0, unseen patterns abstain to non-match)
+    applied to the other half. One metrics row in the er_match_f1 format;
+    at sf0.01 the learned rule reproduces the hand-tuned scorer's F1 = 1.0
+    on held-out pairs."""
+    from email_address_parser_spark.operators.fellegi_sunter import fs_evaluate
+
+    return fs_evaluate(_scored_labeled(spark, sf))
 
 
 def _er_domain_aliases(spark: SparkSession, sf: str) -> DataFrame:
@@ -1879,6 +1894,69 @@ def oracle_sql() -> dict[str, str]:
                         / ((n_unmatch + 0.5) / (tot_unmatch + 1.0))), 6)
                    AS llr_weight
         FROM fs_cells, fs_tot""",
+        # G56 held-out FS replay: same scored CTE + md5 split + train-half
+        # weights LEFT-joined onto the held-out half, LLR >= 0 decision
+        "er_fs_match_f1": _ORACLE_PAIRS
+        + """,
+        fsb AS (
+            SELECT mk_a, mk_b,
+                   (dotless_eq = 1.0) AS g_dotless,
+                   (dom_edit = 0) AS g_domain,
+                   (lev_local <= 1) AS g_lev,
+                   (jw_local >= 0.94) AS g_jw,
+                   """
+        + _oracles.uniform_hash_sql("'fs:' || email_a || '|' || email_b")
+        + """ AS _u
+            FROM scored
+        ),
+        fsc AS (
+            SELECT g_dotless, g_domain, g_lev, g_jw,
+                   CAST(sum(CASE WHEN mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_match,
+                   CAST(sum(CASE WHEN mk_a = mk_b THEN 0 ELSE 1 END) AS BIGINT)
+                       AS n_unmatch
+            FROM fsb WHERE _u < 0.5 GROUP BY 1, 2, 3, 4
+        ),
+        fst AS (
+            SELECT CAST(sum(n_match) AS BIGINT) AS tot_match,
+                   CAST(sum(n_unmatch) AS BIGINT) AS tot_unmatch
+            FROM fsc
+        ),
+        fsw AS (
+            SELECT g_dotless, g_domain, g_lev, g_jw,
+                   round(ln(((n_match + 0.5) / (tot_match + 1.0))
+                            / ((n_unmatch + 0.5) / (tot_unmatch + 1.0))), 6)
+                       AS llr_weight
+            FROM fsc, fst
+        ),
+        fse AS (
+            SELECT b.mk_a, b.mk_b,
+                   coalesce(w.llr_weight >= 0.0, FALSE) AS pred
+            FROM fsb b LEFT JOIN fsw w
+              USING (g_dotless, g_domain, g_lev, g_jw)
+            WHERE b._u >= 0.5
+        ),
+        fsa AS (
+            SELECT CAST(count(*) AS BIGINT) AS n_eval,
+                CAST(sum(CASE WHEN pred AND mk_a = mk_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN pred AND mk_a <> mk_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN NOT pred AND mk_a = mk_b THEN 1 ELSE 0 END)
+                    AS BIGINT) AS fn
+            FROM fse
+        ),
+        fspr AS (
+            SELECT n_eval, tp, fp, fn,
+                tp / CAST(greatest(tp + fp, 1) AS DOUBLE) AS _p,
+                tp / CAST(greatest(tp + fn, 1) AS DOUBLE) AS _r
+            FROM fsa
+        )
+        SELECT n_eval, tp, fp, fn,
+            round(_p, 6) AS precision, round(_r, 6) AS recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS f1
+        FROM fspr""",
         # G55 domain-alias replay: domain dim + distinct 4-gram block join
         # (purged at 10000), strict population orientation, levenshtein<=2,
         # per-alias winner by (n_canon DESC, canonical ASC)

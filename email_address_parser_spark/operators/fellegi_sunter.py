@@ -44,6 +44,18 @@ from pyspark.sql import functions as F
 JW_AGREE = 0.94
 LEV_AGREE = 1
 
+PATTERN_COLS = ["g_dotless", "g_domain", "g_lev", "g_jw"]
+
+
+def with_agreement_bits(scored: DataFrame) -> DataFrame:
+    """Add the 4 agreement-bit columns to scored pairs (pure Catalyst)."""
+    return (
+        scored.withColumn("g_dotless", F.col("dotless_eq") == F.lit(1.0))
+        .withColumn("g_domain", F.col("dom_edit") == F.lit(0))
+        .withColumn("g_lev", F.col("lev_local") <= F.lit(LEV_AGREE))
+        .withColumn("g_jw", F.col("jw_local") >= F.lit(JW_AGREE))
+    )
+
 
 def fs_weights(scored_labeled: DataFrame) -> DataFrame:
     """Per-pattern (m, u, llr weight) rows from labeled scored pairs.
@@ -53,14 +65,9 @@ def fs_weights(scored_labeled: DataFrame) -> DataFrame:
     (g_dotless, g_domain, g_lev, g_jw, n_match, n_unmatch, m, u, weight)."""
     truth = (F.col("mk_a") == F.col("mk_b")).cast("long")
     cells = (
-        scored_labeled.select(
-            (F.col("dotless_eq") == F.lit(1.0)).alias("g_dotless"),
-            (F.col("dom_edit") == F.lit(0)).alias("g_domain"),
-            (F.col("lev_local") <= F.lit(LEV_AGREE)).alias("g_lev"),
-            (F.col("jw_local") >= F.lit(JW_AGREE)).alias("g_jw"),
-            truth.alias("is_match"),
-        )
-        .groupBy("g_dotless", "g_domain", "g_lev", "g_jw")
+        with_agreement_bits(scored_labeled)
+        .select(*PATTERN_COLS, truth.alias("is_match"))
+        .groupBy(*PATTERN_COLS)
         .agg(
             F.sum("is_match").alias("n_match"),
             F.sum(F.lit(1) - F.col("is_match")).alias("n_unmatch"),
@@ -83,4 +90,61 @@ def fs_weights(scored_labeled: DataFrame) -> DataFrame:
         F.round(m, 6).alias("m_prob"),
         F.round(u, 6).alias("u_prob"),
         F.round(F.log(m / u), 6).alias("llr_weight"),
+    )
+
+
+def fs_evaluate(scored_labeled: DataFrame, salt: str = "fs") -> DataFrame:
+    """Held-out evaluation of the FS decision rule — one metrics row.
+
+    The labeled pairs split 50/50 by the same engine-neutral md5 uniform as
+    doc_splits (a pure function of (salt, email_a, email_b): no RNG state,
+    stable under repartitioning). Weights are estimated on the train half
+    (fs_weights) and broadcast-joined onto the held-out half by the 4
+    agreement bits; the decision is `llr_weight >= 0` (the likelihood-ratio
+    test at even prior odds), with a pattern UNSEEN in training abstaining
+    to non-match (coalesce false — the conservative default a production
+    linker uses for unmodeled patterns).
+
+    Scale shape: two passes over the already-blocked pair stream (one
+    aggregation to the ≤16-row weight dim, one broadcast join + single-row
+    metric aggregate). Float style matches er_match_f1 (single divisions,
+    round 6)."""
+    from email_address_parser_spark.operators.sampling import _uniform_hash
+
+    u = _uniform_hash(
+        F.concat(F.lit(salt + ":"), F.col("email_a"), F.lit("|"), F.col("email_b"))
+    )
+    bits = with_agreement_bits(scored_labeled).withColumn("_u", u)
+    train = bits.where(F.col("_u") < F.lit(0.5))
+    hold = bits.where(F.col("_u") >= F.lit(0.5))
+    w = fs_weights(train).select(*PATTERN_COLS, "llr_weight")
+    decided = hold.join(F.broadcast(w), PATTERN_COLS, "left")
+    pred = F.coalesce(F.col("llr_weight") >= F.lit(0.0), F.lit(False))
+    truth = F.col("mk_a") == F.col("mk_b")
+    agg = decided.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum((pred & truth).cast("long")).alias("tp"),
+        F.sum((pred & ~truth).cast("long")).alias("fp"),
+        F.sum((~pred & truth).cast("long")).alias("fn"),
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return (
+        agg.withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            "n_eval",
+            "tp",
+            "fp",
+            "fn",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
     )

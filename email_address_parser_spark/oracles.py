@@ -374,6 +374,13 @@ _HEX15 = (
 )
 
 
+def uniform_hash_sql(arg: str) -> str:
+    """The doc_splits md5 uniform u ~ [0,1) as a DuckDB SQL expression over
+    an arbitrary string expression (same first-8-hex-chars / 2^32 construction
+    as operators/sampling._uniform_hash)."""
+    return _HEX8.format(arg=arg) + " / 4294967296.0"
+
+
 def doc_splits_oracle(weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)), salt="split") -> str:
     """Thresholds accumulate in PYTHON float arithmetic and are embedded via
     repr() so the SQL compares against bit-identical doubles (0.8 + 0.1 is

@@ -211,3 +211,45 @@ def test_domain_alias_edit_cap(spark):
         ("x@omega.net", "x", "omega.net")
     ]
     assert domain_aliases(_uniq(spark, rows), max_edit=2).count() == 0
+
+
+def test_fs_evaluate_holdout_and_abstain(spark):
+    from email_address_parser_spark.operators.fellegi_sunter import fs_evaluate
+
+    # a large labeled pool with two clean patterns; the md5 split puts ~half
+    # in training, so both patterns are seen and the held-out half separates
+    # perfectly. Pattern bits are constant per truth class by construction.
+    rows = []
+    for i in range(120):
+        # matches: all-agree pattern
+        rows.append((f"m{i}a", f"m{i}b", 1.0, 0, 0, 1.0, f"k{i}", f"k{i}"))
+        # non-matches: all-disagree pattern
+        rows.append((f"n{i}a", f"n{i}b", 0.3, 8, 4, 0.0, f"p{i}", f"q{i}"))
+    out = fs_evaluate(_labeled(spark, rows)).collect()[0]
+    assert out.n_eval > 0 and out.fp == 0 and out.fn == 0
+    assert out.precision == 1.0 and out.recall == 1.0 and out.f1 == 1.0
+    # determinism: same inputs, repartitioned, identical row
+    out2 = fs_evaluate(_labeled(spark, rows).repartition(7)).collect()[0]
+    assert out == out2
+
+
+def test_fs_evaluate_unseen_pattern_abstains(spark):
+    from email_address_parser_spark.operators.fellegi_sunter import fs_evaluate
+
+    # training half sees only the all-agree match pattern; a TRUE match with
+    # an unseen pattern in the held-out half must abstain to non-match (fn),
+    # never crash or predict positive
+    rows = [
+        (f"m{i}a", f"m{i}b", 1.0, 0, 0, 1.0, f"k{i}", f"k{i}") for i in range(40)
+    ]
+    # unique odd pattern (jw high but everything else off), labeled match;
+    # give it ids across the hash space so at least one lands in eval
+    rows += [
+        (f"z{i}a", f"z{i}b", 0.95, 6, 3, 0.0, f"w{i}", f"w{i}") for i in range(20)
+    ]
+    out = fs_evaluate(_labeled(spark, rows)).collect()[0]
+    # the odd pattern rows in eval: pred=false (training u has no row for a
+    # match-only unseen pattern with positive weight? it was never seen ->
+    # NULL weight -> abstain), so they count as fn
+    assert out.fn > 0
+    assert out.fp == 0
