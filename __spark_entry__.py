@@ -272,6 +272,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G56: held-out FS evaluation — weights from a deterministic md5
         # half of the labeled pairs, LLR decision scored on the other half
         "er_fs_match_f1": _er_fs_match_f1,
+        # G57: sorted-neighborhood blocking — distributed exact global rank
+        # + explode/equi-join window pairs (the third classic blocking
+        # family next to key blocking and LSH)
+        "er_snm_pairs": _er_snm_pairs,
         # G55: corpus-learned domain alias dimension (typo domain -> its
         # most-populous near-spelling), computed on the domain dim only
         "er_domain_aliases": _er_domain_aliases,
@@ -554,6 +558,18 @@ def _er_fs_weights(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.fellegi_sunter import fs_weights
 
     return fs_weights(_scored_labeled(spark, sf))
+
+
+def _er_snm_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """G57: sorted-neighborhood candidate pairs (operators/snm.py) — the
+    classic sliding-window blocking over a fuzzy sort key, with the global
+    rank computed distributed (range partition + per-partition window +
+    prefix-summed offsets) and proven equal to the textbook single-node
+    row_number by the DuckDB twin."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.snm import snm_pairs
+
+    return snm_pairs(uniq_valid_mentions(_mentions(spark, sf)))
 
 
 def _er_fs_match_f1(spark: SparkSession, sf: str) -> DataFrame:
@@ -1894,6 +1910,26 @@ def oracle_sql() -> dict[str, str]:
                         / ((n_unmatch + 0.5) / (tot_unmatch + 1.0))), 6)
                    AS llr_weight
         FROM fs_cells, fs_tot""",
+        # G57 SNM replay: the textbook single-node form — row_number over
+        # the strict total order + rank-distance self-join; equality proves
+        # the distributed rank (range partition + offsets) is exact
+        "er_snm_pairs": MENTIONS_EXPECTED_CTE
+        + """,
+        snm_uniq AS (
+            SELECT DISTINCT email,
+                concat(replace(local_canon, '.', ''), '|', domain_canon)
+                    AS sort_key
+            FROM mentions_expected WHERE valid_lax
+        ),
+        snm_r AS (
+            SELECT email,
+                row_number() OVER (ORDER BY sort_key, email) AS rn
+            FROM snm_uniq
+        )
+        SELECT a.email AS email_a, b.email AS email_b,
+               CAST(b.rn - a.rn AS INT) AS dist
+        FROM snm_r a JOIN snm_r b
+          ON b.rn - a.rn BETWEEN 1 AND 7""",
         # G56 held-out FS replay: same scored CTE + md5 split + train-half
         # weights LEFT-joined onto the held-out half, LLR >= 0 decision
         "er_fs_match_f1": _ORACLE_PAIRS

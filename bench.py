@@ -282,8 +282,14 @@ def main() -> None:
         )
         _force(out["delta"])
 
+    def q_metablock():
+        from email_address_parser_spark.operators.metablocking import metablock_pairs
+
+        _force(metablock_pairs(uniq_valid_mentions(mentions_c)))
+
     suite = {
         "er_mentions": q_mentions,
+        "er_metablocking": q_metablock,
         "er_pairs_scored": q_pairs_scored,
         "er_pipeline": q_pipeline,
         "q1_pricing_summary": q_q1,

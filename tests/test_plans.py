@@ -431,3 +431,38 @@ def test_domain_aliases_runs_on_dim_only(spark):
     plan = executed_plan(df)
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_snm_rank_is_range_partitioned_not_single_partition(spark):
+    """with_global_rank: the sort must ride a RANGE partitioning (the
+    scalable distributed sort) — the only single-partition exchange allowed
+    is the #partitions-sized offsets prefix sum. A plan whose row_number
+    windows over ONE partition has reintroduced the textbook bottleneck.
+    (Inspected on the rank chain itself: snm_pairs pins it behind a
+    localCheckpoint so both join sides share one evaluation.)"""
+    from pyspark.sql import functions as F
+
+    from email_address_parser_spark.operators.snm import with_global_rank
+    from email_address_parser_spark.plans import executed_plan
+    from email_address_parser_spark.sources.testdata import load_table
+
+    keyed = (
+        load_table(spark, SF_DIR, "customer")
+        .select(
+            F.col("c_name").alias("email"),
+            F.concat("c_mktsegment", F.lit("|"), F.col("c_custkey")).alias(
+                "sort_key"
+            ),
+        )
+        .dropDuplicates(["email"])
+    )
+    df = with_global_rank(keyed, ["sort_key", "email"], n_partitions=4)
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert "rangepartitioning" in plan
+    # exactly one single-partition exchange: the offsets prefix sum over the
+    # #partitions-sized counts dim
+    assert plan.count("Exchange SinglePartition") == 1
+    # the offsets come back via broadcast, never a shuffled join
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
