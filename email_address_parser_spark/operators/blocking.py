@@ -40,7 +40,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.functions import pandas_udf
 from pyspark.sql.types import ArrayType, LongType
@@ -292,6 +292,37 @@ _PAIR_COLS = [
 ]
 
 
+def _cap_buckets(
+    df: DataFrame, keys: list, cap: int, via_window: bool
+) -> DataFrame:
+    """Drop every row whose bucket (group on `keys`) holds more than `cap`
+    rows — the over-populous-key purge shared by the LSH and exact-local
+    channels. Two plan shapes, identical output:
+
+      * groupBy + join-back (via_window=False): an agg shuffle producing the
+        sizes dim, then an equi-join of the exploded table against it. Three
+        exchanges counting the downstream self-join's.
+      * window count (via_window=True): ONE hash exchange on `keys`, a
+        per-partition sort, count(*) over the frame, filter. The window's
+        output partitioning is exactly the downstream self-join's join key
+        partitioning, so the SMJ reuses the exchange instead of re-shuffling
+        both sides.
+
+    The window shape is only safe when a single bucket fits one task (true
+    here by construction — these are the CAPPED channels; the cap is the
+    bound), which is why with_salted_domain_block keeps the agg shape for the
+    UNCAPPED hot-domain census."""
+    if not via_window:
+        sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
+        return df.join(sizes.where(F.col("_bn") <= cap), keys).drop("_bn")
+    w = Window.partitionBy(*keys)
+    return (
+        df.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= cap)
+        .drop("_bn")
+    )
+
+
 def candidate_pairs(
     mentions: DataFrame,
     hot_threshold: int = 10_000,
@@ -305,6 +336,8 @@ def candidate_pairs(
     use_cross_domain: bool = True,
     local_max_block: int = 50,
     use_email_lsh: bool = True,
+    eager: bool = False,
+    cap_via_window: bool = True,
 ) -> DataFrame:
     """→ (email_a, email_b, local_canon_a/b, domain_canon_a/b), each unordered
     pair once. Union of the four disjoint channels (module docstring): salted
@@ -380,6 +413,14 @@ def candidate_pairs(
             )
     if materialize:
         blocked = blocked.persist()
+        if eager:
+            # Populate the cache BEFORE the multi-channel query references it:
+            # AQE submits the leaf exchange stages of all four channels
+            # concurrently at query start, and a stage that begins while the
+            # cache is still cold recomputes the whole dim subtree (distinct +
+            # hot-domain agg + banding UDFs) instead of waiting for a sibling
+            # to fill it. One tiny count()-job here serializes that work once.
+            blocked.count()
 
     # The self-join carries all pair columns through its exchange: measured
     # at replicated scale (x32 corpus, 1.7M distinct emails), generating
@@ -450,12 +491,8 @@ def candidate_pairs(
         # few. LSH pairs only gate the scorer; restricting to same canonical
         # domain keeps the channel to hard same-domain candidates (identity
         # variants never change the domain).
-        bucket_sizes = with_bands.groupBy("band_idx", "band_sig").agg(
-            F.count(F.lit(1)).alias("_bn")
-        )
-        bounded = with_bands.join(
-            bucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
-            ["band_idx", "band_sig"],
+        bounded = _cap_buckets(
+            with_bands, ["band_idx", "band_sig"], lsh_max_bucket, cap_via_window
         )
         lsh_pairs = self_join(
             bounded, ["band_idx", "band_sig", "domain_canon"], cross_block=True
@@ -469,11 +506,8 @@ def candidate_pairs(
         # channel 3 — cross-domain exact-local block. Block sizes are counted
         # over the whole dim (not per domain): a local shared by >cap emails
         # is non-discriminative wherever it appears.
-        local_sizes = blocked.groupBy("_dotless").agg(
-            F.count(F.lit(1)).alias("_ln")
-        )
-        bounded_local = blocked.join(
-            local_sizes.where(F.col("_ln") <= local_max_block), ["_dotless"]
+        bounded_local = _cap_buckets(
+            blocked, ["_dotless"], local_max_block, cap_via_window
         )
         xd_pairs = self_join(
             bounded_local.select(
@@ -496,12 +530,11 @@ def candidate_pairs(
                 "_dotless",
                 F.posexplode(F.col("email_bands")).alias("band_idx", "band_sig"),
             )
-            ebucket_sizes = with_ebands.groupBy("band_idx", "band_sig").agg(
-                F.count(F.lit(1)).alias("_bn")
-            )
-            ebounded = with_ebands.join(
-                ebucket_sizes.where(F.col("_bn") <= lsh_max_bucket),
+            ebounded = _cap_buckets(
+                with_ebands,
                 ["band_idx", "band_sig"],
+                lsh_max_bucket,
+                cap_via_window,
             )
             email_lsh_pairs = self_join(
                 ebounded,
