@@ -171,6 +171,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # re-aggregated, and the fold emits a delta; same full-recompute
         # oracle certifies fold == from-scratch clustering
         "er_incremental_fold": _er_incremental_fold,
+        "er_forget": _er_forget,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -735,6 +736,34 @@ def _er_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
 
 def _mentions_of(transcripts: DataFrame) -> DataFrame:
     return with_canonical(extract_mentions(transcripts))
+
+
+def _er_forget(spark: SparkSession, sf: str) -> DataFrame:
+    """G58 right-to-be-forgotten (operators/forget.py): erase the identity
+    (whole resolved cluster) containing a target address from the maintained
+    ER state with batch-sized updates — eq-delete ledger for the append-only
+    uniq table, all-null tombstones for keyed tables, count decrements from
+    the doomed representatives. The target is the min clustered email
+    (deterministic, collect-free: it rides a broadcast 1-row aggregate).
+    The oracle is the full-corpus clustering SQL minus the target's
+    component, so the triple-match certifies that forgetting removes exactly
+    the identity's connected component and nothing else — the erasure
+    analog of the fold == from-scratch certifications. Disk-path equality
+    (MoR append + read_er_state == this in-memory apply) is pinned by
+    tests/test_forget.py."""
+    from email_address_parser_spark.operators.forget import (
+        forget_apply,
+        forget_payload,
+    )
+    from email_address_parser_spark.operators.incremental import (
+        build_incremental_state,
+    )
+
+    t = derive_transcripts(spark, sf)
+    state = build_incremental_state(spark, t, hot_threshold=1 << 40)
+    target = state["clusters"].agg(F.min("email").alias("email"))
+    after = forget_apply(state, forget_payload(state, target))
+    return after["clusters"].select("email", "cluster_id")
 
 
 def _er_membership_history(spark: SparkSession, sf: str) -> DataFrame:
@@ -1656,6 +1685,11 @@ def oracle_sql() -> dict[str, str]:
         "er_incremental": _ORACLE_CLUSTERS + "SELECT email, cluster_id FROM clusters",
         "er_incremental_fold": _ORACLE_CLUSTERS
         + "SELECT email, cluster_id FROM clusters",
+        # erasure == exactly the target's component removed, nothing else
+        "er_forget": _ORACLE_CLUSTERS
+        + """
+        SELECT email, cluster_id FROM clusters
+        WHERE cluster_id <> (SELECT min(email) FROM uniq)""",
         "er_golden_record": _ORACLE_GOLDEN,
         # fold == full recompute: the oracle IS the full-corpus survivorship
         "er_golden_record_incr": _ORACLE_GOLDEN,

@@ -565,9 +565,14 @@ def build_incremental_state(
     use_cross_domain: bool = True,
     local_max_block: int = 50,
     use_email_lsh: bool = True,
+    mentions: Optional[DataFrame] = None,
 ) -> Dict[str, DataFrame]:
     """One-time bootstrap of the fold state from a corpus (the batch
-    collapsed pipeline plus the derived dims `fold_batch` maintains):
+    collapsed pipeline plus the derived dims `fold_batch` maintains).
+    `mentions` overrides the transcript extraction (the same seam as
+    fold_batch's `new_mentions`) — the G58 erasure tests rebuild
+    from-scratch state over a mention set with one identity removed, which
+    no transcript filter can express when turns carry multiple mentions:
 
       uniq           — distinct valid emails + canon cols + band_sigs +
                        email_bands
@@ -588,7 +593,8 @@ def build_incremental_state(
     from ..pipeline import cluster_mentions_collapsed
 
     want_ebands = use_cross_domain and use_email_lsh
-    mentions = with_canonical(extract_mentions(transcripts))
+    if mentions is None:
+        mentions = with_canonical(extract_mentions(transcripts))
     uniq = uniq_valid_mentions(mentions)
     if use_lsh:
         uniq = with_minhash_bands(uniq)

@@ -250,6 +250,159 @@ def read_state(
     }
 
 
+def read_er_state(
+    spark: SparkSession, state_dir: str, tables=STATE_TABLES
+) -> Dict[str, DataFrame]:
+    """`read_state` plus the G58 erasure conventions (operators/forget.py):
+
+      * all-null tombstones filtered from the keyed tables (clusters on
+        null cluster_id, reps on null email) after latest-wins resolution;
+      * count dims filtered to positive rows (a forget decrements counts;
+        zero == absent in a from-scratch build);
+      * the `deletes` equality-delete ledger applied to the append-only
+        `uniq` with SEQUENCE semantics: a uniq row survives iff it is newer
+        than every delete for its email (Iceberg's eq-delete rule), so a
+        post-erasure reappearance survives while pre-erasure rows stay
+        dead.
+
+    On a forget-free state dir every step is a no-op filter, so this is a
+    drop-in superset of `read_state` for the cluster-maintenance tables."""
+    out = read_state(spark, state_dir, tables)
+    if out.get("clusters") is not None:
+        out["clusters"] = out["clusters"].where(F.col("cluster_id").isNotNull())
+    if out.get("reps") is not None:
+        out["reps"] = out["reps"].where(F.col("email").isNotNull())
+    for name, cnt in (
+        ("domain_counts", "_dom_n"),
+        ("bucket_counts", "_bn"),
+        ("local_counts", "_ln"),
+        ("ebucket_counts", "_bn"),
+    ):
+        if out.get(name) is not None:
+            out[name] = out[name].where(F.col(cnt) > 0)
+    if "uniq" in tables and os.path.isdir(f"{state_dir}/deletes"):
+        raw = spark.read.parquet(f"{state_dir}/uniq")
+        dels = (
+            spark.read.parquet(f"{state_dir}/deletes")
+            .groupBy("email")
+            .agg(F.max("_epoch").alias("_del_epoch"))
+        )
+        out["uniq"] = (
+            raw.join(F.broadcast(dels), "email", "left")
+            .where(
+                F.col("_del_epoch").isNull()
+                | (F.col("_epoch") > F.col("_del_epoch"))
+            )
+            .drop("_del_epoch", "_epoch", "_b")
+        )
+    return out
+
+
+def _null_cols(df: DataFrame, keys: list) -> list:
+    return [
+        F.lit(None).cast(f.dataType).alias(f.name)
+        for f in df.schema.fields
+        if f.name not in keys
+    ]
+
+
+def forget_identities(
+    spark: SparkSession,
+    state_dir: str,
+    targets: DataFrame,
+    golden_dir: str = None,
+    history_dir: str = None,
+) -> DataFrame:
+    """Erase every identity (cluster) containing a target email from the
+    on-disk MoR state — ONE batch-sized append epoch per state dir carrying
+    the ledger rows, tombstones, and count decrements (operators/forget.py
+    has the mechanics). Idempotent: a re-forget finds no surviving cluster
+    rows for the targets, so every frame is empty. Returns the
+    (email, cluster_id) audit frame of what was erased — the erasure-log
+    record.
+
+    golden_dir / history_dir cascade the erasure through the co-maintained
+    states (GDPR erasure is ALL the subject's data, not just the live
+    view): the G42 golden record of each doomed cluster is tombstoned and
+    the mention LEDGER takes an eq-delete on the doomed emails; the G43
+    SCD2 history tombstones EVERY row (open and closed) the doomed emails
+    ever held. Write order is cascade-first, cluster-state LAST: the doomed
+    expansion needs live cluster rows, so a crash anywhere mid-cascade
+    leaves the targets still resolvable and a re-run re-appends
+    value-identical rows (latest-wins absorbs them) — the same
+    replay-idempotency argument as the folds. Ordering caveat shared with
+    any eq-delete store: run erasures only after the stream's checkpoint
+    frontier has passed the batches that carried the erased mentions, or a
+    crash-REPLAY of an older batch lawfully re-ingests them as new data."""
+    from ..operators.forget import forget_payload
+
+    payload = forget_payload(read_er_state(spark, state_dir), targets)
+    doomed = payload["doomed"]
+    if golden_dir:
+        golden = read_golden_state(spark, golden_dir)["golden"]
+        g_updates = {
+            "golden": doomed.select("cluster_id")
+            .distinct()
+            .select("cluster_id", *_null_cols(golden, ["cluster_id"])),
+            "deletes": doomed.select("email"),
+        }
+        write_state_mor(
+            g_updates,
+            golden_dir,
+            tables=("golden", "deletes"),
+            merge_keys=GOLDEN_STATE_KEYS,
+            bucket_keys={**GOLDEN_BUCKET_KEYS, "deletes": ["email"]},
+        )
+    if history_dir:
+        hist = read_history_state(spark, history_dir)["history"]
+        h_tomb = hist.join(
+            F.broadcast(doomed.select("email")), "email", "left_semi"
+        ).select(
+            "email",
+            F.lit(None).cast("string").alias("cluster_id"),
+            "valid_from",
+            F.lit(None).cast("long").alias("valid_to"),
+            F.lit(None).cast("boolean").alias("is_current"),
+        )
+        write_state_mor(
+            {"history": h_tomb},
+            history_dir,
+            tables=HISTORY_STATE_TABLES,
+            merge_keys=HISTORY_STATE_KEYS,
+            bucket_keys={},
+        )
+    updates = {
+        k: v for k, v in payload.items() if k != "doomed" and v is not None
+    }
+    write_state_mor(
+        updates,
+        state_dir,
+        tables=tuple(updates),
+        bucket_keys={**STATE_BUCKET_KEYS, "deletes": ["email"]},
+    )
+    return doomed
+
+
+def compact_er_state(
+    spark: SparkSession, state_dir: str, tables=STATE_TABLES
+) -> None:
+    """Compaction for a state dir that may carry erasures: rewrite the base
+    with the ledger/tombstones/zero-counts APPLIED (Iceberg's
+    rewrite-data-files + drop-stale-deletes maintenance), then drop the
+    ledger — post-compaction reads are filter-free and the forgotten rows
+    are physically gone from storage, which is what an erasure SLA
+    ultimately requires."""
+    import shutil
+
+    write_state_mor(
+        read_er_state(spark, state_dir, tables),
+        state_dir,
+        tables=tables,
+        mode="overwrite",
+    )
+    shutil.rmtree(f"{state_dir}/deletes", ignore_errors=True)
+
+
 def compact_state(
     spark: SparkSession,
     state_dir: str,
@@ -360,10 +513,69 @@ def bootstrap_history_state(
 
 def read_golden_state(spark: SparkSession, golden_dir: str) -> Dict[str, DataFrame]:
     """Resolved golden state: latest-wins per cluster_id, then tombstones
-    (all-null aggregate rows appended for merged-away ids) filtered out."""
+    (all-null aggregate rows appended for merged-away ids — and by G58
+    forgets) filtered out. A forget's eq-delete ledger applies to the
+    append-only mention ledger with the same sequence semantics as the
+    cluster state's uniq (read_er_state)."""
     state = read_state(spark, golden_dir, tables=GOLDEN_STATE_TABLES)
     state["golden"] = state["golden"].where(F.col("n_members").isNotNull())
+    if os.path.isdir(f"{golden_dir}/deletes"):
+        raw = spark.read.parquet(f"{golden_dir}/men")
+        dels = (
+            spark.read.parquet(f"{golden_dir}/deletes")
+            .groupBy("email")
+            .agg(F.max("_epoch").alias("_del_epoch"))
+        )
+        state["men"] = (
+            raw.join(F.broadcast(dels), "email", "left")
+            .where(
+                F.col("_del_epoch").isNull()
+                | (F.col("_epoch") > F.col("_del_epoch"))
+            )
+            .drop("_del_epoch", "_epoch", "_b")
+        )
     return state
+
+
+def read_history_state(
+    spark: SparkSession, history_dir: str
+) -> Dict[str, DataFrame]:
+    """Resolved SCD2 history with G58 erasure tombstones (all-null value
+    rows per (email, valid_from)) filtered out after latest-wins
+    resolution. On a forget-free dir the filter is a no-op."""
+    state = read_state(spark, history_dir, tables=HISTORY_STATE_TABLES)
+    state["history"] = state["history"].where(F.col("cluster_id").isNotNull())
+    return state
+
+
+def compact_golden_state(spark: SparkSession, golden_dir: str) -> None:
+    """Rewrite the golden state's base with tombstones and the mention
+    ledger's eq-deletes APPLIED, then drop the ledger — the erased
+    mentions are physically gone from storage (erasure-SLA end state)."""
+    import shutil
+
+    write_state_mor(
+        read_golden_state(spark, golden_dir),
+        golden_dir,
+        tables=GOLDEN_STATE_TABLES,
+        mode="overwrite",
+        merge_keys=GOLDEN_STATE_KEYS,
+        bucket_keys=GOLDEN_BUCKET_KEYS,
+    )
+    shutil.rmtree(f"{golden_dir}/deletes", ignore_errors=True)
+
+
+def compact_history_state(spark: SparkSession, history_dir: str) -> None:
+    """Rewrite the SCD2 history base with erasure tombstones applied —
+    the forgotten rows are physically removed."""
+    write_state_mor(
+        read_history_state(spark, history_dir),
+        history_dir,
+        tables=HISTORY_STATE_TABLES,
+        mode="overwrite",
+        merge_keys=HISTORY_STATE_KEYS,
+        bucket_keys={},
+    )
 
 
 def _golden_tombstone_rows(upserts: DataFrame, tombstones: DataFrame) -> DataFrame:
@@ -420,7 +632,10 @@ def streaming_cluster_maintenance(
 
     def _fold(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
-        state = read_state(spark, state_dir)
+        # erasure-aware read (drop-in superset of read_state): folds compose
+        # with G58 forgets — a forgotten email arriving in a later batch is
+        # NEW again, and decremented dims enter the count merges directly
+        state = read_er_state(spark, state_dir)
         new_mentions = None
         if golden_dir:
             from ..operators.extract import extract_mentions, with_canonical
@@ -454,7 +669,7 @@ def streaming_cluster_maintenance(
         if history_dir:
             from ..operators.history import fold_history
 
-            hist = read_state(spark, history_dir, tables=HISTORY_STATE_TABLES)
+            hist = read_history_state(spark, history_dir)
             hout = fold_history(
                 hist["history"], out["delta"], _read_epoch(history_dir) + 1
             )
