@@ -172,6 +172,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle certifies fold == from-scratch clustering
         "er_incremental_fold": _er_incremental_fold,
         "er_forget": _er_forget,
+        "er_threshold_clusters": _er_threshold_clusters,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -736,6 +737,56 @@ def _er_incremental_fold(spark: SparkSession, sf: str) -> DataFrame:
 
 def _mentions_of(transcripts: DataFrame) -> DataFrame:
     return with_canonical(extract_mentions(transcripts))
+
+
+def _er_threshold_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """G59 cluster-level threshold stability: the CLUSTERING consequences of
+    moving the match cut — complement of er_threshold_sweep, which scores
+    thresholds at the PAIR level. Transitive closure amplifies threshold
+    changes super-linearly (one borderline edge can merge two whole
+    identities), so the operating report an ER owner actually reads before
+    retuning is this one: clusters / multi-member clusters / max component
+    size / edge count at each candidate cut. One scored pass is shared
+    (lazily pinned); per threshold the edge set shrinks and the adaptive CC
+    (cc.py) solves it — at review thresholds the graph is far below the
+    driver bound, so the ladder costs 4 tiny solves, not 4 shuffle loops.
+    The oracle replays the full pairs+scoring SQL once and runs ONE
+    recursive min-root walk keyed by (threshold, node) — triple-match
+    certifies every clustering in the ladder, not just the default cut."""
+    m = _mentions(spark, sf)
+    scored = score_pairs(
+        candidate_pairs(m, hot_threshold=1 << 40)
+    ).localCheckpoint(eager=False)
+    outs = []
+    for t in (0.80, 0.85, 0.90, 0.95):
+        edges = match_edges(scored, t)
+        sizes = (
+            cluster_mentions(m, edges)
+            .groupBy("cluster_id")
+            .agg(F.count(F.lit(1)).alias("sz"))
+        )
+        stats = sizes.agg(
+            F.count(F.lit(1)).alias("n_clusters"),
+            F.sum("sz").cast("long").alias("n_emails"),
+            F.sum((F.col("sz") >= 2).cast("long")).alias("n_multi"),
+            F.max("sz").alias("max_size"),
+        )
+        outs.append(
+            edges.agg(F.count(F.lit(1)).alias("n_edges"))
+            .crossJoin(stats)
+            .select(
+                F.lit(float(t)).alias("threshold"),
+                "n_edges",
+                "n_clusters",
+                "n_multi",
+                "max_size",
+                "n_emails",
+            )
+        )
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionByName(o)
+    return out
 
 
 def _er_forget(spark: SparkSession, sf: str) -> DataFrame:
@@ -1690,6 +1741,44 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT email, cluster_id FROM clusters
         WHERE cluster_id <> (SELECT min(email) FROM uniq)""",
+        # one recursive min-root walk keyed by (threshold, node) certifies
+        # the whole clustering ladder, not just the default 0.90 cut (the
+        # leading WITH needs the RECURSIVE keyword for the walk CTE)
+        "er_threshold_clusters": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + """,
+        thr AS (SELECT CAST(t AS DOUBLE) AS threshold
+                FROM (VALUES (0.80), (0.85), (0.90), (0.95)) v(t)),
+        tedges AS (
+            SELECT t.threshold, s.email_a AS a, s.email_b AS b
+            FROM (SELECT DISTINCT email_a, email_b, score FROM scored) s
+            JOIN thr t ON s.score >= t.threshold
+        ),
+        tsym AS (SELECT threshold, a, b FROM tedges
+                 UNION ALL SELECT threshold, b, a FROM tedges),
+        twalk(threshold, id, root) AS (
+            SELECT t.threshold, u.email, u.email FROM uniq u CROSS JOIN thr t
+            UNION
+            SELECT w.threshold, s.b, w.root
+            FROM twalk w JOIN tsym s
+              ON s.threshold = w.threshold AND s.a = w.id
+        ),
+        tcomp AS (SELECT threshold, id, min(root) AS cluster_id
+                  FROM twalk GROUP BY threshold, id),
+        tsizes AS (SELECT threshold, cluster_id, count(*) AS sz
+                   FROM tcomp GROUP BY 1, 2),
+        tne AS (SELECT threshold, CAST(count(*) AS BIGINT) AS n_edges
+                FROM tedges GROUP BY 1)
+        SELECT s.threshold,
+            coalesce(e.n_edges, 0) AS n_edges,
+            CAST(count(*) AS BIGINT) AS n_clusters,
+            CAST(sum(CASE WHEN sz >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_multi,
+            CAST(max(sz) AS BIGINT) AS max_size,
+            CAST(sum(sz) AS BIGINT) AS n_emails
+        FROM tsizes s LEFT JOIN tne e USING (threshold)
+        GROUP BY s.threshold, e.n_edges""",
         "er_golden_record": _ORACLE_GOLDEN,
         # fold == full recompute: the oracle IS the full-corpus survivorship
         "er_golden_record_incr": _ORACLE_GOLDEN,

@@ -56,12 +56,6 @@ from typing import Dict, Optional
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-# value columns per keyed state table (everything but the merge key):
-# a tombstone row nulls all of them; the read path drops rows where the
-# FIRST value column is null (no state table has legitimately-null values)
-_TOMBSTONE_SENTINELS = {"clusters": "cluster_id", "reps": "email"}
-
-
 def _null_like(df: DataFrame, keys: list) -> list:
     return [
         F.lit(None).cast(f.dataType).alias(f.name)
