@@ -40,7 +40,7 @@ exactly; blocking graphs are the scale layer BASELINE.json mandates on top.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 DEFAULT_MAX_BLOCK = 64
@@ -83,22 +83,34 @@ def metablock_pairs(
     what pruning discards (the same reporting stance as er_block_skew)."""
     ek = entity_block_keys(uniq)
 
-    # block purging: entity count per key, keys over the cap dropped whole.
-    # The sizes dim is key-keyed like the join below — one exchange reused.
-    sizes = ek.groupBy("key").agg(F.count(F.lit(1)).alias("n"))
-    kept_keys = sizes.where(F.col("n") <= F.lit(max_block)).select("key")
-    ek = ek.join(kept_keys, "key")
+    # block purging via window count: ONE hash exchange on `key` whose
+    # output partitioning IS the CBS self-join's key partitioning, so the
+    # SMJ reuses it instead of re-shuffling both sides (the same plan shape
+    # bench_cap_window_ab.py measured for the candidate channels; pinned
+    # here by bench_metablock_ab.py — 9.19 → 2.58 s at sf0.1 with the edge
+    # pin below, identical 106,534-row output). A single key group fits one
+    # task because purging is the point: over-cap groups are filtered, and
+    # the pre-filter sort of a pathological key spills rather than OOMs.
+    w = Window.partitionBy("key")
+    ek = (
+        ek.withColumn("_n", F.count(F.lit(1)).over(w))
+        .where(F.col("_n") <= F.lit(max_block))
+        .drop("_n")
+    )
 
     # CBS: common-block count per ordered pair. The self-join fans out at
     # most max_block²/2 rows per key (purging is the bound), and the groupBy
     # collapses multi-key evidence map-side before the pair exchange.
     a = ek.select(F.col("key"), F.col("email").alias("email_a"))
     b = ek.select(F.col("key"), F.col("email").alias("email_b"))
+    # edges is referenced three times (two WNP incidence unions + the final
+    # join) — pin it lazily so the explode/purge/self-join subtree runs once
     edges = (
         a.join(b, "key")
         .where(F.col("email_a") < F.col("email_b"))
         .groupBy("email_a", "email_b")
         .agg(F.count(F.lit(1)).alias("w"))
+        .localCheckpoint(eager=False)
     )
 
     # WNP: exact per-node mean weight (bigint sum / bigint count, ONE double
