@@ -173,6 +173,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_incremental_fold": _er_incremental_fold,
         "er_forget": _er_forget,
         "er_threshold_clusters": _er_threshold_clusters,
+        "er_merge_tree": _er_merge_tree,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -787,6 +788,24 @@ def _er_threshold_clusters(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _er_merge_tree(spark: SparkSession, sf: str) -> DataFrame:
+    """G60 merge provenance (operators/explain.py): the BFS spanning tree of
+    every resolved cluster — per clustered email its hop distance from the
+    cluster root, the lexicographically-smallest depth-1 neighbor it joined
+    through, and that deciding edge's score. The audit artifact for "why did
+    we merge these?": two addresses can share a cluster whose direct pair
+    was never even scored, and the weak hop in a big tree is where an
+    erroneous merge hides. Deterministic min-parent BFS per bounded cluster
+    inside applyInPandas; the oracle replays it with a depth-bounded
+    recursive walk + min-depth/min-parent reduction, so the triple-match
+    certifies the whole forest."""
+    from email_address_parser_spark.operators.explain import cluster_merge_tree
+
+    m = _mentions(spark, sf)
+    edges = match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    return cluster_merge_tree(cluster_mentions(m, edges), edges)
 
 
 def _er_forget(spark: SparkSession, sf: str) -> DataFrame:
@@ -1741,6 +1760,55 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT email, cluster_id FROM clusters
         WHERE cluster_id <> (SELECT min(email) FROM uniq)""",
+        # depth-bounded recursive BFS walk + min-depth/min-parent reduction
+        # replays the deterministic spanning forest exactly
+        "er_merge_tree": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + """,
+        mt_clusters AS (
+            SELECT email, min(email) OVER (PARTITION BY match_key)
+                AS cluster_id
+            FROM uniq
+        ),
+        mt_e AS (
+            SELECT DISTINCT email_a AS a, email_b AS b, score
+            FROM scored WHERE score >= 0.90
+        ),
+        mt_sym AS (
+            SELECT a, b, score FROM mt_e
+            UNION ALL SELECT b, a, score FROM mt_e
+        ),
+        mt_walk(cluster_id, node, depth) AS (
+            SELECT DISTINCT cluster_id, cluster_id, 0 FROM mt_clusters
+            UNION
+            SELECT w.cluster_id, s.b, w.depth + 1
+            FROM mt_walk w JOIN mt_sym s ON s.a = w.node
+            WHERE w.depth < 32
+        ),
+        mt_lvl AS (
+            SELECT cluster_id, node, min(depth) AS depth
+            FROM mt_walk GROUP BY 1, 2
+        ),
+        mt_par AS (
+            SELECT l.cluster_id, l.node AS email,
+                CAST(l.depth AS INT) AS depth, min(s.a) AS parent
+            FROM mt_lvl l
+            JOIN mt_sym s ON s.b = l.node
+            JOIN mt_lvl lp ON lp.cluster_id = l.cluster_id
+                AND lp.node = s.a AND lp.depth = l.depth - 1
+            WHERE l.depth > 0
+            GROUP BY 1, 2, 3
+        )
+        SELECT p.cluster_id, p.email, p.depth, p.parent,
+            s2.score AS parent_score
+        FROM mt_par p JOIN mt_sym s2
+            ON s2.a = p.parent AND s2.b = p.email
+        UNION ALL
+        SELECT DISTINCT cluster_id, cluster_id AS email,
+            CAST(0 AS INT) AS depth, CAST(NULL AS VARCHAR) AS parent,
+            CAST(NULL AS DOUBLE) AS parent_score
+        FROM mt_clusters""",
         # one recursive min-root walk keyed by (threshold, node) certifies
         # the whole clustering ladder, not just the default 0.90 cut (the
         # leading WITH needs the RECURSIVE keyword for the walk CTE)
