@@ -73,14 +73,17 @@ def entity_block_keys(uniq: DataFrame) -> DataFrame:
 
 
 def metablock_pairs(
-    uniq: DataFrame, max_block: int = DEFAULT_MAX_BLOCK
+    uniq: DataFrame, max_block: int = DEFAULT_MAX_BLOCK, pin_edges: bool = True
 ) -> DataFrame:
     """CBS-weighted, WNP-pruned candidate pairs from token blocking.
 
     Returns (email_a, email_b, w, kept): w = number of shared surviving
     blocks, kept = WNP verdict. Downstream feeds kept pairs to score_pairs;
     the unkept rows are retained here because the operator IS the audit of
-    what pruning discards (the same reporting stance as er_block_skew)."""
+    what pruning discards (the same reporting stance as er_block_skew).
+    pin_edges=False skips the lazy edge checkpoint so the plan tests can
+    inspect the full tree (a localCheckpoint truncates EXPLAIN at an RDD
+    scan); execution semantics are identical either way."""
     ek = entity_block_keys(uniq)
 
     # block purging via window count: ONE hash exchange on `key` whose
@@ -110,8 +113,9 @@ def metablock_pairs(
         .where(F.col("email_a") < F.col("email_b"))
         .groupBy("email_a", "email_b")
         .agg(F.count(F.lit(1)).alias("w"))
-        .localCheckpoint(eager=False)
     )
+    if pin_edges:
+        edges = edges.localCheckpoint(eager=False)
 
     # WNP: exact per-node mean weight (bigint sum / bigint count, ONE double
     # division — bit-reproducible in any engine). Each edge contributes to

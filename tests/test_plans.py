@@ -418,6 +418,32 @@ def test_metablocking_partial_agg_no_cross_product(spark):
     assert "partial_count" in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+    # the purge is a window COUNT over the block key, not a sizes-dim
+    # aggregate + join-back: the window's hash exchange on `key` is exactly
+    # the CBS self-join's key partitioning, so the SMJ must reuse it (the
+    # −72% plan, bench_metablock_ab.py). The full tree is only visible with
+    # the edge checkpoint off (a localCheckpoint truncates EXPLAIN at an
+    # RDD scan); semantics are identical.
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.extract import (
+        extract_mentions,
+        with_canonical,
+    )
+    from email_address_parser_spark.operators.metablocking import metablock_pairs
+    from email_address_parser_spark.sources.testdata import derive_transcripts
+
+    full = metablock_pairs(
+        uniq_valid_mentions(
+            with_canonical(extract_mentions(derive_transcripts(spark, SF_DIR)))
+        ),
+        pin_edges=False,
+    )
+    full.write.format("noop").mode("overwrite").save()
+    fplan = executed_plan(full)
+    assert "Window" in fplan
+    # the old shape's sizes dim was a key-keyed HashAggregate joined back;
+    # its reappearance means the purge regressed to the join-back plan
+    assert "HashAggregate(keys=[key#" not in fplan
 
 
 def test_domain_aliases_runs_on_dim_only(spark):
