@@ -468,7 +468,9 @@ def incremental_cluster_update(
             use_email_lsh=use_email_lsh,
         )
         edges = (
-            match_edges(score_pairs(fuzzy_pairs), threshold)
+            # batch-sized pair set: the rebalance stage barrier costs
+            # more than the tiny-batch memo loss it buys (fold floor)
+            match_edges(score_pairs(fuzzy_pairs, rebalance=False), threshold)
             .unionByName(star_edges)
             .persist()
         )
@@ -487,7 +489,10 @@ def incremental_cluster_update(
             local_max_block=local_max_block,
             use_email_lsh=use_email_lsh,
         )
-        edges = match_edges(score_pairs(pairs), threshold).persist()
+        # batch-sized pair set: skip the rebalance stage (fold floor)
+        edges = match_edges(
+            score_pairs(pairs, rebalance=False), threshold
+        ).persist()
 
     # Quotient-graph contraction (exactness-preserving): rewrite each OLD
     # endpoint to its prev cluster root before the CC loop, so the loop's
@@ -1021,7 +1026,8 @@ def fold_batch(
             pairs = pairs.unionByName(e_pairs)
 
     edges = (
-        match_edges(score_pairs(pairs), threshold)
+        # batch-sized pair set: skip the rebalance stage (fold floor)
+        match_edges(score_pairs(pairs, rebalance=False), threshold)
         .unionByName(star_edges)
         .transform(_fb_pin)
     )

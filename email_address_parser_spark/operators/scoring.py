@@ -271,7 +271,7 @@ def jaro_winkler_udf(a: pd.Series, b: pd.Series) -> pd.Series:
     return pd.Series(jaro_winkler_batch(a, b), index=a.index, dtype="float64")
 
 
-def score_pairs(pairs: DataFrame) -> DataFrame:
+def score_pairs(pairs: DataFrame, rebalance: bool = True) -> DataFrame:
     """Add feature + score columns to candidate pairs.
 
     jw_local / lev_local are computed over the DOTLESS locals: dot placement
@@ -281,7 +281,20 @@ def score_pairs(pairs: DataFrame) -> DataFrame:
     typo); scored on dotted forms the dot eats 0.06 of margin and the pair
     misses the 0.90 threshold, scored dotless it clears at ≈0.944 while the
     hard negative johnx@gmail.com stays at 0.746
-    (tests/test_cross_domain_channels.py)."""
+    (tests/test_cross_domain_channels.py).
+
+    rebalance (default on): an AQE REBALANCE exchange between candidate
+    generation and the Arrow scorer. Without it the UDF pipelines into the
+    channels' final join stages — hundreds of small output partitions, so
+    the scorer sees tiny Arrow batches and the within-batch distinct-pair
+    memo barely fires; consolidated to advisory-sized partitions the same
+    2.4M-pair chain drops 14.0 → 9.1 s at sf0.1/local[32] (−35%, probed
+    against repartition(32)≈9.0 — the hint matches the magic number while
+    staying size-adaptive at any corpus). Values are identical either way;
+    callers scoring BATCH-sized pair sets in a fold hot loop can pass
+    False to save the stage barrier."""
+    if rebalance:
+        pairs = pairs.hint("rebalance")
     dotless_a = F.regexp_replace(F.col("local_canon_a"), r"\.", "")
     dotless_b = F.regexp_replace(F.col("local_canon_b"), r"\.", "")
     max_local_len = F.greatest(
