@@ -74,4 +74,16 @@ def register_er_views(
             clusters.select("email", "cluster_id"), 0
         ).createOrReplaceTempView("er_membership_history")
         views.append("er_membership_history")
+
+        # G60: the merge-provenance spanning forest — per clustered email
+        # its BFS depth, deciding parent, and that edge's score. On the
+        # collapsed path the within-key members connect via STAR edges,
+        # so the tree walks fuzzy ∪ star (score 1.0 hops = exact matches)
+        from .operators.explain import cluster_merge_tree
+
+        cluster_merge_tree(
+            clusters.select("email", "cluster_id"),
+            fuzzy.unionByName(exact_match_edges(mentions, uniq=uniq)),
+        ).createOrReplaceTempView("er_merge_tree")
+        views.append("er_merge_tree")
     return views

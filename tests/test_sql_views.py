@@ -62,3 +62,20 @@ def test_sql_views_agree_with_dataframes(spark):
            WHERE h.cluster_id = c.cluster_id AND h.is_current"""
     ).collect()[0].n
     assert agree == n_uniq  # open rows mirror the clustering
+
+    tree = spark.sql(
+        """SELECT count(*) AS n,
+                  sum(CASE WHEN depth = 0 THEN 1 ELSE 0 END) AS n_roots,
+                  sum(CASE WHEN depth > 0 AND parent IS NULL
+                      THEN 1 ELSE 0 END) AS orphans
+           FROM er_merge_tree"""
+    ).collect()[0]
+    assert tree.n == n_uniq          # the forest spans every clustered email
+    assert tree.n_roots == n_clusters  # exactly one root per cluster
+    assert tree.orphans == 0         # every non-root hop has a parent
+    tree_agree = spark.sql(
+        """SELECT count(*) AS n FROM er_merge_tree t
+           JOIN er_clusters c ON t.email = c.email
+           WHERE t.cluster_id = c.cluster_id"""
+    ).collect()[0].n
+    assert tree_agree == n_uniq      # tree rows mirror the clustering
