@@ -174,6 +174,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_forget": _er_forget,
         "er_threshold_clusters": _er_threshold_clusters,
         "er_merge_tree": _er_merge_tree,
+        "er_constrained_split": _er_constrained_split,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -788,6 +789,40 @@ def _er_threshold_clusters(spark: SparkSession, sf: str) -> DataFrame:
     for o in outs[1:]:
         out = out.unionByName(o)
     return out
+
+
+def _er_constrained_split(spark: SparkSession, sf: str) -> DataFrame:
+    """G61 cannot-link repair (operators/repair.py): enforce
+    reviewer-declared non-matches by splitting each constrained cluster at
+    the minimal edge-score level that separates the pair — the immediate
+    consequence of a negative label that G44's annotator surface produces
+    (its model-side counterpart being G46 retraining). Scenario here: for
+    every cluster of ≥4 members, the reviewer declares its min and max
+    member distinct (a shared-mailbox reassignment), so the cluster must
+    shed its weakest internal evidence level(s) until the two separate;
+    smaller clusters pass through untouched. Whole-level removal keeps the
+    rule unique under score ties; the oracle replays the minimal-level
+    search with a walk keyed by (cluster, level) and certifies the repaired
+    assignment bit-for-bit."""
+    from email_address_parser_spark.operators.repair import constrained_split
+
+    m = _mentions(spark, sf)
+    scored = score_pairs(
+        candidate_pairs(m, hot_threshold=1 << 40)
+    ).localCheckpoint(eager=False)
+    edges = match_edges(scored)
+    clusters = cluster_mentions(m, edges).localCheckpoint(eager=False)
+    cons = (
+        clusters.groupBy("cluster_id")
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            F.min("email").alias("email_x"),
+            F.max("email").alias("email_y"),
+        )
+        .where(F.col("_n") >= 4)
+        .select("email_x", "email_y")
+    )
+    return constrained_split(clusters, edges, cons)
 
 
 def _er_merge_tree(spark: SparkSession, sf: str) -> DataFrame:
@@ -1760,6 +1795,75 @@ def oracle_sql() -> dict[str, str]:
         + """
         SELECT email, cluster_id FROM clusters
         WHERE cluster_id <> (SELECT min(email) FROM uniq)""",
+        # minimal-level split replayed with a walk keyed by (cluster, level):
+        # cut = the smallest in-cluster score level whose >-filtered edge set
+        # separates the constraint pair; repaired labels = min-root
+        # components at that level
+        "er_constrained_split": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + """,
+        cs_clusters AS (
+            SELECT email, min(email) OVER (PARTITION BY match_key)
+                AS cluster_id
+            FROM uniq
+        ),
+        cs_doomed AS (
+            SELECT cluster_id, min(email) AS x, max(email) AS y
+            FROM cs_clusters GROUP BY cluster_id HAVING count(*) >= 4
+        ),
+        cs_e AS (
+            SELECT c.cluster_id, s.email_a AS a, s.email_b AS b, s.score
+            FROM (SELECT DISTINCT email_a, email_b, score FROM scored
+                  WHERE score >= 0.90) s
+            JOIN cs_clusters c ON c.email = s.email_a
+            JOIN cs_doomed d ON d.cluster_id = c.cluster_id
+        ),
+        cs_lv AS (
+            SELECT DISTINCT cluster_id, score AS level FROM cs_e
+        ),
+        cs_sym AS (
+            SELECT cluster_id, a, b, score FROM cs_e
+            UNION ALL SELECT cluster_id, b, a, score FROM cs_e
+        ),
+        cs_members AS (
+            SELECT DISTINCT cluster_id, a AS node FROM cs_sym
+        ),
+        cs_walk(cluster_id, level, node, root) AS (
+            SELECT m.cluster_id, l.level, m.node, m.node
+            FROM cs_members m JOIN cs_lv l USING (cluster_id)
+            UNION
+            SELECT w.cluster_id, w.level, s.b, w.root
+            FROM cs_walk w
+            JOIN cs_sym s ON s.cluster_id = w.cluster_id
+                AND s.a = w.node AND s.score > w.level
+        ),
+        cs_comp AS (
+            SELECT cluster_id, level, node, min(root) AS comp
+            FROM cs_walk GROUP BY 1, 2, 3
+        ),
+        cs_cut AS (
+            SELECT c.cluster_id, min(c.level) AS cut
+            FROM (
+                SELECT cx.cluster_id, cx.level
+                FROM cs_comp cx
+                JOIN cs_doomed d ON d.cluster_id = cx.cluster_id
+                    AND d.x = cx.node
+                JOIN cs_comp cy ON cy.cluster_id = cx.cluster_id
+                    AND cy.level = cx.level AND cy.node = d.y
+                WHERE cx.comp <> cy.comp
+            ) c GROUP BY 1
+        ),
+        cs_repaired AS (
+            SELECT p.node AS email, p.comp AS cluster_id
+            FROM cs_comp p JOIN cs_cut k
+                ON k.cluster_id = p.cluster_id AND k.cut = p.level
+        )
+        SELECT email, cluster_id FROM cs_repaired
+        UNION ALL
+        SELECT c.email, c.cluster_id FROM cs_clusters c
+        LEFT JOIN cs_doomed d USING (cluster_id)
+        WHERE d.cluster_id IS NULL""",
         # depth-bounded recursive BFS walk + min-depth/min-parent reduction
         # replays the deterministic spanning forest exactly
         "er_merge_tree": _ORACLE_PAIRS.replace(
