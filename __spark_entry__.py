@@ -175,6 +175,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_threshold_clusters": _er_threshold_clusters,
         "er_merge_tree": _er_merge_tree,
         "er_constrained_split": _er_constrained_split,
+        # G62: must-link merge — the positive half of the review loop
+        "er_must_link_merge": _er_must_link_merge,
+        # G63: best-match (1-NN star) clustering — precision-leaning
+        # alternative closure over strongest-evidence edges only
+        "er_best_match_clusters": _er_best_match_clusters,
+        # G64: Adjusted Rand Index — chance-corrected pair-counting metric
+        "er_ari": _er_ari,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -841,6 +848,79 @@ def _er_merge_tree(spark: SparkSession, sf: str) -> DataFrame:
     m = _mentions(spark, sf)
     edges = match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
     return cluster_merge_tree(cluster_mentions(m, edges), edges)
+
+
+def _er_must_link_merge(spark: SparkSession, sf: str) -> DataFrame:
+    """G62 must-link merge (operators/repair.py): enforce reviewer-confirmed
+    MATCHES — the positive half of the review loop whose negative half is
+    G61 — by transitive closure over the cluster quotient graph. Scenario:
+    the reviewer confirms the top-50 near-miss pairs from the G44
+    hard-negative band (score in [0.70, 0.90), the annotator's natural work
+    queue) as true matches; each confirmation that straddles two clusters
+    merges them, relabeled min-email. The oracle replays the quotient walk
+    recursively, so the triple-match certifies both the binding rule
+    (same-cluster confirmations are no-ops) and the merged labeling."""
+    from email_address_parser_spark.operators.repair import must_link_merge
+
+    m = _mentions(spark, sf)
+    scored = score_pairs(
+        candidate_pairs(m, hot_threshold=1 << 40)
+    ).localCheckpoint(eager=False)
+    clusters = cluster_mentions(m, match_edges(scored))
+    cons = (
+        scored.where((F.col("score") >= 0.70) & (F.col("score") < 0.90))
+        .orderBy(F.col("score").desc(), "email_a", "email_b")
+        .limit(50)
+        .select(
+            F.col("email_a").alias("email_x"), F.col("email_b").alias("email_y")
+        )
+    )
+    return must_link_merge(clusters, cons)
+
+
+def _er_best_match_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """G63 best-match (1-NN star) clustering (operators/bestmatch.py): the
+    precision-leaning alternative to full transitive closure — every email
+    keeps only its single best-scoring candidate ≥ 0.70 (ties → smallest
+    neighbor), clusters are components of the kept pseudoforest, min-email
+    labels, candidate-less emails singleton. Run next to er_clusters it
+    measures how much of the clustering is carried by strongest-evidence
+    edges alone; the oracle replays the argmax window and the walk."""
+    from email_address_parser_spark.operators.bestmatch import (
+        best_match_clusters,
+    )
+
+    m = _mentions(spark, sf)
+    return best_match_clusters(m, _scored(spark, sf), floor=0.70)
+
+
+def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
+    """G64 Adjusted Rand Index (operators/evaluation.py) of the same two
+    clusterings er_bcubed grades — `engine` (full pipeline) and
+    `exact_canonical` (ablation) — against the labeled truth. ARI is the
+    chance-corrected pair-counting metric: the ablation's sub-1 row is the
+    same domain-typo recall gap B³ shows, on the third standard scale.
+    All sums are integer-valued doubles (exact), so the triple-match is
+    bit-for-bit."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.evaluation import adjusted_rand
+    from email_address_parser_spark.sources.testdata import truth_labels
+    from pyspark.sql.window import Window
+
+    m = _mentions(spark, sf)
+    truth = truth_labels(spark, sf)
+    engine = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    exactc = uniq_valid_mentions(m).select(
+        "email",
+        F.min("email")
+        .over(Window.partitionBy("local_canon", "domain_canon"))
+        .alias("cluster_id"),
+    )
+    return adjusted_rand(engine, truth, label="engine").unionByName(
+        adjusted_rand(exactc, truth, label="exact_canonical")
+    )
 
 
 def _er_forget(spark: SparkSession, sf: str) -> DataFrame:
@@ -1864,6 +1944,76 @@ def oracle_sql() -> dict[str, str]:
         SELECT c.email, c.cluster_id FROM cs_clusters c
         LEFT JOIN cs_doomed d USING (cluster_id)
         WHERE d.cluster_id IS NULL""",
+        # must-link merge replayed at the cluster-quotient level: top-50
+        # near-miss confirmations → binding (cross-cluster) constraints →
+        # recursive walk over the quotient graph → min-label remap
+        "er_must_link_merge": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + """,
+        ml_clusters AS (
+            SELECT email, min(email) OVER (PARTITION BY match_key)
+                AS cluster_id
+            FROM uniq
+        ),
+        ml_cons AS (
+            SELECT email_a AS x, email_b AS y FROM scored
+            WHERE score >= 0.70 AND score < 0.90
+            ORDER BY score DESC, email_a, email_b LIMIT 50
+        ),
+        ml_q AS (
+            SELECT DISTINCT cx.cluster_id AS a, cy.cluster_id AS b
+            FROM ml_cons c
+            JOIN ml_clusters cx ON cx.email = c.x
+            JOIN ml_clusters cy ON cy.email = c.y
+            WHERE cx.cluster_id <> cy.cluster_id
+        ),
+        ml_sym AS (SELECT a, b FROM ml_q UNION SELECT b, a FROM ml_q),
+        ml_nodes AS (SELECT DISTINCT a AS n FROM ml_sym),
+        ml_walk(node, root) AS (
+            SELECT n, n FROM ml_nodes
+            UNION
+            SELECT s.b, w.root
+            FROM ml_walk w JOIN ml_sym s ON s.a = w.node
+        ),
+        ml_remap AS (
+            SELECT node AS cluster_id, min(root) AS merged
+            FROM ml_walk GROUP BY node
+        )
+        SELECT c.email, coalesce(r.merged, c.cluster_id) AS cluster_id
+        FROM ml_clusters c LEFT JOIN ml_remap r USING (cluster_id)""",
+        # 1-NN star clustering replayed: argmax window over the symmetrized
+        # scored pairs (ties → smallest neighbor), then a min-root walk over
+        # the kept pseudoforest seeded with every valid email (singletons)
+        "er_best_match_clusters": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + """,
+        bm_above AS (
+            SELECT email_a, email_b, score FROM scored WHERE score >= 0.70
+        ),
+        bm_sym AS (
+            SELECT email_a AS node, email_b AS nbr, score FROM bm_above
+            UNION ALL
+            SELECT email_b, email_a, score FROM bm_above
+        ),
+        bm_best AS (
+            SELECT node AS a, nbr AS b FROM (
+                SELECT node, nbr, row_number() OVER (
+                    PARTITION BY node ORDER BY score DESC, nbr ASC
+                ) AS rn
+                FROM bm_sym
+            ) WHERE rn = 1
+        ),
+        bm_und AS (SELECT a, b FROM bm_best UNION SELECT b, a FROM bm_best),
+        bm_walk(node, root) AS (
+            SELECT email, email FROM uniq
+            UNION
+            SELECT s.b, w.root
+            FROM bm_walk w JOIN bm_und s ON s.a = w.node
+        )
+        SELECT node AS email, min(root) AS cluster_id
+        FROM bm_walk GROUP BY node""",
         # depth-bounded recursive BFS walk + min-depth/min-parent reduction
         # replays the deterministic spanning forest exactly
         "er_merge_tree": _ORACLE_PAIRS.replace(
@@ -2096,6 +2246,71 @@ def oracle_sql() -> dict[str, str]:
                round(_sr / n_emails, 6) AS b3_recall,
                round(2.0 * _sp * _sr / (n_emails * (_sp + _sr)), 6) AS b3_f1
         FROM stats""",
+        # G64 ARI over the same two systems; every sum is an integer-valued
+        # double (C2 of bigints), so the comparison is bit-exact
+        "er_ari": MENTIONS_EXPECTED_CTE
+        + """,
+        uniq AS (
+            SELECT DISTINCT email, local_canon, domain_canon, match_key
+            FROM mentions_expected WHERE valid_lax
+        ),
+        labeled AS (
+            SELECT 'engine' AS system,
+                   min(email) OVER (PARTITION BY match_key) AS cluster_id,
+                   match_key
+            FROM uniq
+            UNION ALL
+            SELECT 'exact_canonical' AS system,
+                   min(email) OVER (PARTITION BY local_canon, domain_canon),
+                   match_key
+            FROM uniq
+        ),
+        cells AS (
+            SELECT system, cluster_id, match_key,
+                   CAST(count(*) AS BIGINT) AS n_ck
+            FROM labeled GROUP BY system, cluster_id, match_key
+        ),
+        pred_sz AS (
+            SELECT system, cluster_id, CAST(sum(n_ck) AS BIGINT) AS n_c
+            FROM cells GROUP BY system, cluster_id
+        ),
+        truth_sz AS (
+            SELECT system, match_key, CAST(sum(n_ck) AS BIGINT) AS n_k
+            FROM cells GROUP BY system, match_key
+        ),
+        base AS (
+            SELECT system, CAST(sum(n_ck) AS BIGINT) AS n_emails,
+                sum(CAST(n_ck AS DOUBLE) * (CAST(n_ck AS DOUBLE) - 1.0)
+                    / 2.0) AS _idx
+            FROM cells GROUP BY system
+        ),
+        pc AS (
+            SELECT system,
+                sum(CAST(n_c AS DOUBLE) * (CAST(n_c AS DOUBLE) - 1.0)
+                    / 2.0) AS _sc
+            FROM pred_sz GROUP BY system
+        ),
+        tc AS (
+            SELECT system,
+                sum(CAST(n_k AS DOUBLE) * (CAST(n_k AS DOUBLE) - 1.0)
+                    / 2.0) AS _sk
+            FROM truth_sz GROUP BY system
+        ),
+        ari_in AS (
+            SELECT b.system, b.n_emails, b._idx, pc._sc, tc._sk,
+                CAST(n_emails AS DOUBLE)
+                    * (CAST(n_emails AS DOUBLE) - 1.0) / 2.0 AS _tot
+            FROM base b
+            JOIN pc ON pc.system = b.system
+            JOIN tc ON tc.system = b.system
+        )
+        SELECT system, n_emails,
+            round(_idx, 6) AS index_pairs,
+            round(_sc * _sk / _tot, 6) AS expected_pairs,
+            round((_sc + _sk) / 2.0, 6) AS max_pairs,
+            round((_idx - _sc * _sk / _tot)
+                / ((_sc + _sk) / 2.0 - _sc * _sk / _tot), 6) AS ari
+        FROM ari_in""",
         # blocking skew-cost: distinct emails per exact-channel block key,
         # quadratic pair cost via integer DIV, share against the broadcast
         # scalar total, deterministic top-20

@@ -1,4 +1,5 @@
-"""Cluster-quality evaluation: B-cubed precision / recall / F1.
+"""Cluster-quality evaluation: B-cubed precision / recall / F1 (G45) and
+the Adjusted Rand Index (G64).
 
 B³ (Bagga & Baldwin 1998) is the standard per-item ER quality metric,
 complementing pairwise F1 (`er_match_f1`), which weights clusters
@@ -72,6 +73,71 @@ def bcubed(
             / (F.col("n_emails") * (F.col("_sp") + F.col("_sr"))),
             6,
         ).alias("b3_f1"),
+    )
+    if label is not None:
+        out = out.select(F.lit(label).alias("system"), "*")
+    return out
+
+
+def adjusted_rand(
+    pred: DataFrame,
+    truth: DataFrame,
+    pred_col: str = "cluster_id",
+    truth_col: str = "match_key",
+    label: str | None = None,
+) -> DataFrame:
+    """G64: Adjusted Rand Index (Hubert & Arabie 1985) of the predicted
+    clustering against the labeled truth — the third standard ER quality
+    lens next to pairwise F1 (`er_match_f1`, quadratic in cluster size) and
+    B³ (`bcubed`, linear): ARI is pair-counting like F1 but
+    chance-corrected, so a degenerate all-singletons or one-big-cluster
+    prediction scores ≈ 0 instead of inheriting the class imbalance.
+
+    With contingency cells n_ck (same cells B³ uses), row sums n_c, column
+    sums n_k, N items, and C2(n) = n(n-1)/2:
+
+        index     = Σ_cells C2(n_ck)
+        expected  = Σ_c C2(n_c) · Σ_k C2(n_k) / C2(N)
+        max_index = (Σ_c C2(n_c) + Σ_k C2(n_k)) / 2
+        ARI       = (index − expected) / (max_index − expected)
+
+    Scale shape is identical to ``bcubed``: one email-keyed equi-join, one
+    (pred, truth) cell aggregation bounded by the number of non-empty
+    cells, two size dims derived from the cells, single-row reduce. All
+    integer until the final division; rounded to 6 decimals (house parity
+    convention). The reference repo is a parser with no counterpart; the
+    metric is public literature.
+    """
+    j = pred.select("email", pred_col).join(
+        truth.select("email", truth_col), "email"
+    )
+    cells = j.groupBy(pred_col, truth_col).agg(F.count(F.lit(1)).alias("n_ck"))
+
+    def _c2(col: str) -> F.Column:
+        c = F.col(col).cast("double")
+        return c * (c - F.lit(1.0)) / F.lit(2.0)
+
+    pred_sz = cells.groupBy(pred_col).agg(F.sum("n_ck").alias("n_c"))
+    truth_sz = cells.groupBy(truth_col).agg(F.sum("n_ck").alias("n_k"))
+    stats = cells.agg(
+        F.sum("n_ck").alias("n_emails"),
+        F.sum(_c2("n_ck")).alias("_idx"),
+    ).crossJoin(
+        pred_sz.agg(F.sum(_c2("n_c")).alias("_sc"))
+    ).crossJoin(
+        truth_sz.agg(F.sum(_c2("n_k")).alias("_sk"))
+    )
+    tot = _c2("n_emails")
+    expected = F.col("_sc") * F.col("_sk") / tot
+    max_index = (F.col("_sc") + F.col("_sk")) / F.lit(2.0)
+    out = stats.select(
+        F.col("n_emails"),
+        F.round(F.col("_idx"), 6).alias("index_pairs"),
+        F.round(expected, 6).alias("expected_pairs"),
+        F.round(max_index, 6).alias("max_pairs"),
+        F.round(
+            (F.col("_idx") - expected) / (max_index - expected), 6
+        ).alias("ari"),
     )
     if label is not None:
         out = out.select(F.lit(label).alias("system"), "*")

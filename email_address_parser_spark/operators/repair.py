@@ -164,3 +164,59 @@ def constrained_split(
         F.broadcast(doomed_ids), "cluster_id", "left_anti"
     ).select("email", "cluster_id")
     return repaired.unionByName(untouched)
+
+
+def must_link_merge(clusters: DataFrame, constraints: DataFrame) -> DataFrame:
+    """G62 — must-link constrained merge: the other half of the review loop
+    G61 opened. A reviewer-confirmed MATCH (x, y) that the thresholded
+    pipeline separated must merge the two identities; the standard remedy
+    (Arasu et al.'s positive rules; the "merge" action of commercial ER
+    review consoles) is transitive closure over the accepted clustering
+    plus the confirmed pairs.
+
+    Semantics (deterministic): a constraint binds only if its endpoints sit
+    in DIFFERENT clusters — same-cluster pairs are satisfied no-ops. The
+    repaired assignment is the connected components of the CLUSTER QUOTIENT
+    graph (one node per current cluster, one edge per binding constraint),
+    relabeled with the engine's min-email convention — which at the
+    quotient level is min(cluster_id), since every cluster label is already
+    its own min member.
+
+    Scale shape: two email-keyed hash joins bind the constraints (the
+    review set is human-sized), then the quotient CC runs over a graph no
+    larger than the constraint set — `connected_components`' adaptive
+    driver path solves it without a single loop shuffle — and the remap
+    joins back to `clusters` on cluster_id, broadcast because merged-group
+    count ≤ constraints. Nothing in the corpus-sized table is rewritten or
+    re-shuffled beyond that one broadcast-probe pass.
+
+    → (email, cluster_id); untouched clusters pass through unchanged.
+    """
+    from email_address_parser_spark.operators.cc import connected_components
+
+    cmap = clusters.select("email", "cluster_id")
+    bound = (
+        constraints.join(
+            cmap.select(
+                F.col("email").alias("email_x"), F.col("cluster_id").alias("_cx")
+            ),
+            "email_x",
+        )
+        .join(
+            cmap.select(
+                F.col("email").alias("email_y"), F.col("cluster_id").alias("_cy")
+            ),
+            "email_y",
+        )
+        .where(F.col("_cx") != F.col("_cy"))
+        .select(F.col("_cx").alias("src"), F.col("_cy").alias("dst"))
+        .distinct()
+    )
+    # quotient components: email-string labels in, min cluster label out
+    remap = connected_components(bound).select(
+        F.col("email").alias("cluster_id"), F.col("cluster_id").alias("_merged")
+    )
+    return cmap.join(F.broadcast(remap), "cluster_id", "left").select(
+        "email",
+        F.coalesce(F.col("_merged"), F.col("cluster_id")).alias("cluster_id"),
+    )

@@ -1,0 +1,174 @@
+"""Contracts for the round-4 review/quality additions: G62 must-link merge
+(operators/repair.py), G63 best-match 1-NN star clustering
+(operators/bestmatch.py), G64 Adjusted Rand Index
+(operators/evaluation.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from email_address_parser_spark.operators.bestmatch import (
+    best_match_clusters,
+    best_match_edges,
+)
+from email_address_parser_spark.operators.evaluation import adjusted_rand
+from email_address_parser_spark.operators.repair import must_link_merge
+
+
+def _rows(df, *cols):
+    return sorted(tuple(r[c] for c in cols) for r in df.collect())
+
+
+# ---------------------------------------------------------------------------
+# G62 must-link merge
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ml_clusters(spark):
+    return spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"), ("e", "d")],
+        ["email", "cluster_id"],
+    )
+
+
+def test_must_link_merges_two_clusters(spark, ml_clusters):
+    cons = spark.createDataFrame([("b", "c")], ["email_x", "email_y"])
+    out = _rows(must_link_merge(ml_clusters, cons), "email", "cluster_id")
+    # clusters a and c merge under label min('a','c') = 'a'; d untouched
+    assert out == [
+        ("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d"),
+    ]
+
+
+def test_must_link_same_cluster_is_noop(spark, ml_clusters):
+    cons = spark.createDataFrame([("d", "e")], ["email_x", "email_y"])
+    out = _rows(must_link_merge(ml_clusters, cons), "email", "cluster_id")
+    assert out == _rows(ml_clusters, "email", "cluster_id")
+
+
+def test_must_link_transitive_chain(spark, ml_clusters):
+    # a~c and c~d chain all three clusters into min-label 'a'
+    cons = spark.createDataFrame(
+        [("a", "c"), ("c", "e")], ["email_x", "email_y"]
+    )
+    out = dict(_rows(must_link_merge(ml_clusters, cons), "email", "cluster_id"))
+    assert set(out.values()) == {"a"}
+    assert len(out) == 5
+
+
+# ---------------------------------------------------------------------------
+# G63 best-match clustering
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def bm_scored(spark):
+    # b's best is a (0.9); c's best is b (0.8); d-e isolated strong pair;
+    # f only has a sub-floor candidate
+    return spark.createDataFrame(
+        [
+            ("a", "b", 0.9),
+            ("b", "c", 0.8),
+            ("d", "e", 0.95),
+            ("e", "f", 0.5),
+        ],
+        ["email_a", "email_b", "score"],
+    )
+
+
+def test_best_match_edges_argmax_and_floor(spark, bm_scored):
+    kept = _rows(best_match_edges(bm_scored, floor=0.7), "src", "dst")
+    # every node above floor keeps exactly one edge; f has none
+    assert kept == [
+        ("a", "b"), ("b", "a"), ("c", "b"), ("d", "e"), ("e", "d"),
+    ]
+
+
+def test_best_match_tie_breaks_to_smallest_neighbor(spark):
+    scored = spark.createDataFrame(
+        [("m", "x", 0.8), ("m", "w", 0.8)], ["email_a", "email_b", "score"]
+    )
+    kept = dict(_rows(best_match_edges(scored, floor=0.7), "src", "dst"))
+    assert kept["m"] == "w"
+
+
+def test_best_match_clusters_labels_and_singletons(spark, bm_scored):
+    mentions = spark.createDataFrame(
+        [(e, True) for e in "abcdef"] + [("bad", False)],
+        ["email", "valid_lax"],
+    )
+    out = dict(
+        _rows(best_match_clusters(mentions, bm_scored, floor=0.7),
+              "email", "cluster_id")
+    )
+    # chain a-b-c merges (c's best is b even though b prefers a);
+    # d-e separate; f candidate-less singleton; invalid excluded
+    assert out == {
+        "a": "a", "b": "a", "c": "a", "d": "d", "e": "d", "f": "f",
+    }
+
+
+def test_best_match_no_weak_chaining(spark):
+    # transitive closure would merge all four through the weak 0.71 link;
+    # best-match keeps it ONLY if it is someone's best — here it is (q's),
+    # so construct the case where it is NOT: q's best is p, r's best is s
+    scored = spark.createDataFrame(
+        [
+            ("p", "q", 0.99),
+            ("q", "r", 0.71),
+            ("r", "s", 0.99),
+        ],
+        ["email_a", "email_b", "score"],
+    )
+    mentions = spark.createDataFrame(
+        [(e, True) for e in "pqrs"], ["email", "valid_lax"]
+    )
+    out = dict(
+        _rows(best_match_clusters(mentions, scored, floor=0.7),
+              "email", "cluster_id")
+    )
+    # q-r edge is neither endpoint's best → two clusters, not one
+    assert out == {"p": "p", "q": "p", "r": "r", "s": "r"}
+
+
+# ---------------------------------------------------------------------------
+# G64 adjusted Rand index
+# ---------------------------------------------------------------------------
+
+
+def test_ari_perfect_and_known_value(spark):
+    truth = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2"), ("d", "k2")],
+        ["email", "match_key"],
+    )
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")],
+        ["email", "cluster_id"],
+    )
+    row = adjusted_rand(perfect, truth).collect()[0]
+    assert row["ari"] == 1.0 and row["n_emails"] == 4
+
+    # split {a,b} apart: cells (1,1,2); idx=1, sc=1, sk=2, tot=6
+    # expected=1*2/6=1/3; max=(1+2)/2=1.5; ari=(1-1/3)/(1.5-1/3)=4/7
+    partial = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("c", "c"), ("d", "c")],
+        ["email", "cluster_id"],
+    )
+    row = adjusted_rand(partial, truth).collect()[0]
+    assert row["index_pairs"] == 1.0
+    assert row["max_pairs"] == 1.5
+    assert abs(row["ari"] - 4.0 / 7.0) < 1e-6
+
+
+def test_ari_all_singletons_is_zero(spark):
+    truth = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k2"), ("d", "k2")],
+        ["email", "match_key"],
+    )
+    singles = spark.createDataFrame(
+        [(e, e) for e in "abcd"], ["email", "cluster_id"]
+    )
+    row = adjusted_rand(singles, truth).collect()[0]
+    # index = 0 and expected = 0 (no predicted pairs) → ARI 0
+    assert row["ari"] == 0.0
