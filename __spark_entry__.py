@@ -182,6 +182,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_best_match_clusters": _er_best_match_clusters,
         # G64: Adjusted Rand Index — chance-corrected pair-counting metric
         "er_ari": _er_ari,
+        # G65: MUC link-based F1 — singleton-insensitive fourth metric lens
+        "er_muc": _er_muc,
+        # G66: collective ER — co-mention context promotes near-miss pairs
+        "er_collective_clusters": _er_collective_clusters,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -920,6 +924,60 @@ def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     )
     return adjusted_rand(engine, truth, label="engine").unionByName(
         adjusted_rand(exactc, truth, label="exact_canonical")
+    )
+
+
+def _er_muc(spark: SparkSession, sf: str) -> DataFrame:
+    """G65 MUC link-based F1 (operators/evaluation.py) for the same two
+    systems as er_bcubed/er_ari — the fourth lens of the metric suite
+    (pairwise F1 quadratic, B³ linear, ARI chance-corrected, MUC
+    link-minimal). MUC ignores singletons entirely, so the ablation row
+    isolates the LINK recall the fuzzy channels buy, undiluted by the
+    mass of correctly-singleton addresses. Integer sums → bit-exact."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.evaluation import muc
+    from email_address_parser_spark.sources.testdata import truth_labels
+    from pyspark.sql.window import Window
+
+    m = _mentions(spark, sf)
+    truth = truth_labels(spark, sf)
+    engine = cluster_mentions(
+        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
+    )
+    exactc = uniq_valid_mentions(m).select(
+        "email",
+        F.min("email")
+        .over(Window.partitionBy("local_canon", "domain_canon"))
+        .alias("cluster_id"),
+    )
+    return muc(engine, truth, label="engine").unionByName(
+        muc(exactc, truth, label="exact_canonical")
+    )
+
+
+def _er_collective_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """G66 collective entity resolution (operators/comention.py): cluster
+    over the accepted string edges UNION the context-promoted near-misses —
+    pairs whose string score falls below the cut but whose addresses are
+    co-mentioned in the same conversations (the G47 affinity graph as
+    relational evidence, Bhattacharya & Getoor's collective-ER family).
+    Scenario: at this corpus the default 0.90 cut is already perfect, so
+    the demo runs the CONSERVATIVE operator — cut 0.99, promotion band
+    [0.90, 0.99), one shared conversation — showing relational evidence
+    buying back the recall a stricter cut gives up; at a production
+    threshold the same mechanism promotes the [0.70, 0.90) band. The
+    oracle replays affinity, promotion, and the walk in full SQL."""
+    from email_address_parser_spark.operators.comention import (
+        collective_clusters,
+    )
+
+    m = _mentions(spark, sf)
+    return collective_clusters(
+        m,
+        _scored(spark, sf),
+        threshold=0.99,
+        band=(0.90, 0.99),
+        min_convs=1,
     )
 
 
@@ -2014,6 +2072,50 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node AS email, min(root) AS cluster_id
         FROM bm_walk GROUP BY node""",
+        # collective ER replayed: capped co-mention affinity → promotion of
+        # the [0.90, 0.99) band at the 0.99 cut → min-root walk over the
+        # union edge set seeded with every valid email
+        "er_collective_clusters": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + """,
+        cx_ce AS (
+            SELECT DISTINCT conv_id, email
+            FROM mentions_expected WHERE valid_lax
+        ),
+        cx_small AS (
+            SELECT conv_id FROM cx_ce GROUP BY conv_id HAVING count(*) <= 16
+        ),
+        cx_kept AS (
+            SELECT c.conv_id, c.email FROM cx_ce c JOIN cx_small USING (conv_id)
+        ),
+        cx_aff AS (
+            SELECT a.email AS email_a, b.email AS email_b,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM cx_kept a
+            JOIN cx_kept b ON a.conv_id = b.conv_id AND a.email < b.email
+            GROUP BY a.email, b.email
+        ),
+        cx_promoted AS (
+            SELECT s.email_a AS a, s.email_b AS b
+            FROM scored s
+            JOIN cx_aff f
+              ON f.email_a = s.email_a AND f.email_b = s.email_b
+            WHERE s.score >= 0.90 AND s.score < 0.99 AND f.n_convs >= 1
+        ),
+        cx_edges AS (
+            SELECT email_a AS a, email_b AS b FROM scored WHERE score >= 0.99
+            UNION ALL SELECT a, b FROM cx_promoted
+        ),
+        cx_sym AS (SELECT a, b FROM cx_edges UNION SELECT b, a FROM cx_edges),
+        cx_walk(node, root) AS (
+            SELECT email, email FROM uniq
+            UNION
+            SELECT s.b, w.root
+            FROM cx_walk w JOIN cx_sym s ON s.a = w.node
+        )
+        SELECT node AS email, min(root) AS cluster_id
+        FROM cx_walk GROUP BY node""",
         # depth-bounded recursive BFS walk + min-depth/min-parent reduction
         # replays the deterministic spanning forest exactly
         "er_merge_tree": _ORACLE_PAIRS.replace(
@@ -2311,6 +2413,64 @@ def oracle_sql() -> dict[str, str]:
             round((_idx - _sc * _sk / _tot)
                 / ((_sc + _sk) / 2.0 - _sc * _sk / _tot), 6) AS ari
         FROM ari_in""",
+        # G65 MUC: link-edit counting over the same cells; integer sums,
+        # three final divisions — bit-exact
+        "er_muc": MENTIONS_EXPECTED_CTE
+        + """,
+        uniq AS (
+            SELECT DISTINCT email, local_canon, domain_canon, match_key
+            FROM mentions_expected WHERE valid_lax
+        ),
+        labeled AS (
+            SELECT 'engine' AS system,
+                   min(email) OVER (PARTITION BY match_key) AS cluster_id,
+                   match_key
+            FROM uniq
+            UNION ALL
+            SELECT 'exact_canonical' AS system,
+                   min(email) OVER (PARTITION BY local_canon, domain_canon),
+                   match_key
+            FROM uniq
+        ),
+        cells AS (
+            SELECT system, cluster_id, match_key,
+                   CAST(count(*) AS BIGINT) AS n_ck
+            FROM labeled GROUP BY system, cluster_id, match_key
+        ),
+        by_k AS (
+            SELECT system, match_key, CAST(sum(n_ck) AS BIGINT) AS n_k,
+                   CAST(count(*) AS BIGINT) AS p_k
+            FROM cells GROUP BY system, match_key
+        ),
+        by_c AS (
+            SELECT system, cluster_id, CAST(sum(n_ck) AS BIGINT) AS n_c,
+                   CAST(count(*) AS BIGINT) AS p_c
+            FROM cells GROUP BY system, cluster_id
+        ),
+        base AS (
+            SELECT system, CAST(sum(n_ck) AS BIGINT) AS n_emails
+            FROM cells GROUP BY system
+        ),
+        rk AS (
+            SELECT system, CAST(sum(n_k - p_k) AS BIGINT) AS _rn,
+                   CAST(sum(n_k - 1) AS BIGINT) AS _rd
+            FROM by_k GROUP BY system
+        ),
+        pk AS (
+            SELECT system, CAST(sum(n_c - p_c) AS BIGINT) AS _pn,
+                   CAST(sum(n_c - 1) AS BIGINT) AS _pd
+            FROM by_c GROUP BY system
+        )
+        SELECT b.system, b.n_emails,
+            round(CAST(_pn AS DOUBLE) / _pd, 6) AS muc_precision,
+            round(CAST(_rn AS DOUBLE) / _rd, 6) AS muc_recall,
+            round(2.0 * (CAST(_pn AS DOUBLE) / _pd)
+                      * (CAST(_rn AS DOUBLE) / _rd)
+                / ((CAST(_pn AS DOUBLE) / _pd)
+                   + (CAST(_rn AS DOUBLE) / _rd)), 6) AS muc_f1
+        FROM base b
+        JOIN rk ON rk.system = b.system
+        JOIN pk ON pk.system = b.system""",
         # blocking skew-cost: distinct emails per exact-channel block key,
         # quadratic pair cost via integer DIV, share against the broadcast
         # scalar total, deterministic top-20

@@ -1,5 +1,5 @@
-"""Cluster-quality evaluation: B-cubed precision / recall / F1 (G45) and
-the Adjusted Rand Index (G64).
+"""Cluster-quality evaluation: B-cubed precision / recall / F1 (G45), the
+Adjusted Rand Index (G64), and MUC link-based F1 (G65).
 
 B³ (Bagga & Baldwin 1998) is the standard per-item ER quality metric,
 complementing pairwise F1 (`er_match_f1`), which weights clusters
@@ -138,6 +138,73 @@ def adjusted_rand(
         F.round(
             (F.col("_idx") - expected) / (max_index - expected), 6
         ).alias("ari"),
+    )
+    if label is not None:
+        out = out.select(F.lit(label).alias("system"), "*")
+    return out
+
+
+def muc(
+    pred: DataFrame,
+    truth: DataFrame,
+    pred_col: str = "cluster_id",
+    truth_col: str = "match_key",
+    label: str | None = None,
+) -> DataFrame:
+    """G65: MUC link-based F1 (Vilain et al. 1995) — the fourth standard
+    coreference/ER lens, counting the MINIMUM LINK EDITS between the two
+    partitions: recall is the fraction of truth-cluster links preserved
+    (a truth cluster T split across p(T) predicted clusters retains
+    |T| − p(T) of its |T| − 1 spanning links), precision is the symmetric
+    statement about predicted clusters. MUC is insensitive to singletons
+    (they carry no links), which is exactly why it complements B³/ARI —
+    a metric suite that disagrees is how degenerate clusterings get caught.
+
+    With the same contingency cells as B³/ARI — n_ck = |cell|, per-truth-key
+    size n_k and cell count p_k, per-predicted-cluster size n_c and cell
+    count p_c:
+
+        R = Σ_k (n_k − p_k) / Σ_k (n_k − 1)
+        P = Σ_c (n_c − p_c) / Σ_c (n_c − 1)
+
+    Scale shape identical to ``bcubed``: one email-keyed join, one cell
+    aggregation, two cell-derived reductions, single-row output. Every sum
+    is integer (exact); only the final three divisions are floats, rounded
+    to 6 decimals (house parity convention). Public literature; the
+    reference repo is a parser with no counterpart.
+    """
+    j = pred.select("email", pred_col).join(
+        truth.select("email", truth_col), "email"
+    )
+    cells = j.groupBy(pred_col, truth_col).agg(F.count(F.lit(1)).alias("n_ck"))
+    by_k = cells.groupBy(truth_col).agg(
+        F.sum("n_ck").alias("n_k"), F.count(F.lit(1)).alias("p_k")
+    )
+    by_c = cells.groupBy(pred_col).agg(
+        F.sum("n_ck").alias("n_c"), F.count(F.lit(1)).alias("p_c")
+    )
+    stats = (
+        cells.agg(F.sum("n_ck").alias("n_emails"))
+        .crossJoin(
+            by_k.agg(
+                F.sum(F.col("n_k") - F.col("p_k")).alias("_rn"),
+                F.sum(F.col("n_k") - F.lit(1)).alias("_rd"),
+            )
+        )
+        .crossJoin(
+            by_c.agg(
+                F.sum(F.col("n_c") - F.col("p_c")).alias("_pn"),
+                F.sum(F.col("n_c") - F.lit(1)).alias("_pd"),
+            )
+        )
+    )
+    p = F.col("_pn").cast("double") / F.col("_pd")
+    r = F.col("_rn").cast("double") / F.col("_rd")
+    out = stats.select(
+        F.col("n_emails"),
+        F.round(p, 6).alias("muc_precision"),
+        F.round(r, 6).alias("muc_recall"),
+        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("muc_f1"),
     )
     if label is not None:
         out = out.select(F.lit(label).alias("system"), "*")

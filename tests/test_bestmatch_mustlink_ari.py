@@ -1,7 +1,8 @@
 """Contracts for the round-4 review/quality additions: G62 must-link merge
 (operators/repair.py), G63 best-match 1-NN star clustering
-(operators/bestmatch.py), G64 Adjusted Rand Index
-(operators/evaluation.py)."""
+(operators/bestmatch.py), G64 Adjusted Rand Index and G65 MUC F1
+(operators/evaluation.py), G66 collective clustering
+(operators/comention.py)."""
 
 from __future__ import annotations
 
@@ -172,3 +173,114 @@ def test_ari_all_singletons_is_zero(spark):
     row = adjusted_rand(singles, truth).collect()[0]
     # index = 0 and expected = 0 (no predicted pairs) → ARI 0
     assert row["ari"] == 0.0
+
+
+# ---------------------------------------------------------------------------
+# G65 MUC link-based F1
+# ---------------------------------------------------------------------------
+
+
+def test_muc_perfect_and_split(spark):
+    from email_address_parser_spark.operators.evaluation import muc
+
+    truth = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k1"), ("d", "k2"), ("e", "k2")],
+        ["email", "match_key"],
+    )
+    perfect = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "a"), ("d", "d"), ("e", "d")],
+        ["email", "cluster_id"],
+    )
+    row = muc(perfect, truth).collect()[0]
+    assert (row["muc_precision"], row["muc_recall"], row["muc_f1"]) == (
+        1.0, 1.0, 1.0,
+    )
+
+    # split k1 into {a,b} + {c}: R = (3-2)+(2-1) / (2+1) = 2/3;
+    # pred clusters {a,b},{c},{d,e} are all truth-pure: P = (1+0+1)/(1+0+1)=1
+    split = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "d"), ("e", "d")],
+        ["email", "cluster_id"],
+    )
+    row = muc(split, truth).collect()[0]
+    assert row["muc_precision"] == 1.0
+    assert abs(row["muc_recall"] - 2.0 / 3.0) < 1e-6
+    assert abs(row["muc_f1"] - 0.8) < 1e-6
+
+
+def test_muc_ignores_singletons(spark):
+    from email_address_parser_spark.operators.evaluation import muc
+
+    # adding agreeing singletons must not change any MUC number
+    truth = spark.createDataFrame(
+        [("a", "k1"), ("b", "k1"), ("c", "k1")], ["email", "match_key"]
+    )
+    pred = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], ["email", "cluster_id"]
+    )
+    base = muc(pred, truth).collect()[0]
+    extra = [(f"s{i}", f"s{i}") for i in range(5)]
+    truth2 = truth.unionByName(
+        spark.createDataFrame(extra, ["email", "match_key"])
+    )
+    pred2 = pred.unionByName(
+        spark.createDataFrame(extra, ["email", "cluster_id"])
+    )
+    padded = muc(pred2, truth2).collect()[0]
+    assert (base["muc_precision"], base["muc_recall"], base["muc_f1"]) == (
+        padded["muc_precision"], padded["muc_recall"], padded["muc_f1"],
+    )
+
+
+# ---------------------------------------------------------------------------
+# G66 collective clustering
+# ---------------------------------------------------------------------------
+
+
+def test_collective_promotes_comentioned_near_miss(spark):
+    from email_address_parser_spark.operators.comention import (
+        collective_clusters,
+        context_promoted_pairs,
+        comention_edges,
+    )
+
+    # mentions: a & b co-travel through two conversations; c is isolated
+    mentions = spark.createDataFrame(
+        [
+            ("c1", "a", True), ("c1", "b", True),
+            ("c2", "a", True), ("c2", "b", True),
+            ("c3", "c", True),
+        ],
+        ["conv_id", "email", "valid_lax"],
+    )
+    # a-b scores in the band; a-c scores in the band but never co-mentioned
+    scored = spark.createDataFrame(
+        [("a", "b", 0.80), ("a", "c", 0.80)],
+        ["email_a", "email_b", "score"],
+    )
+    aff = comention_edges(mentions)
+    promoted = context_promoted_pairs(scored, aff, band=(0.7, 0.9), min_convs=2)
+    assert [tuple(r) for r in promoted.collect()] == [("a", "b", 0.80, 2)]
+
+    out = dict(
+        (r["email"], r["cluster_id"])
+        for r in collective_clusters(
+            mentions, scored, band=(0.7, 0.9), min_convs=2
+        ).collect()
+    )
+    assert out == {"a": "a", "b": "a", "c": "c"}
+
+
+def test_collective_rejects_overlapping_band(spark):
+    from email_address_parser_spark.operators.comention import (
+        collective_clusters,
+    )
+
+    mentions = spark.createDataFrame(
+        [("c1", "a", True)], ["conv_id", "email", "valid_lax"]
+    )
+    scored = spark.createDataFrame(
+        [("a", "b", 0.95)], ["email_a", "email_b", "score"]
+    )
+    with pytest.raises(ValueError):
+        collective_clusters(mentions, scored, threshold=0.90, band=(0.7, 0.95))
