@@ -186,6 +186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_muc": _er_muc,
         # G66: collective ER — co-mention context promotes near-miss pairs
         "er_collective_clusters": _er_collective_clusters,
+        # G67: privacy-preserving linkage — CLK Bloom filters, Dice composite
+        "er_pprl_pairs": _er_pprl_pairs,
+        # G67 quality: the measured privacy tax of matching on encodings
+        "er_pprl_match_f1": _er_pprl_match_f1,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -978,6 +982,84 @@ def _er_collective_clusters(spark: SparkSession, sf: str) -> DataFrame:
         threshold=0.99,
         band=(0.90, 0.99),
         min_convs=1,
+    )
+
+
+def _pprl_scored(spark: SparkSession, sf: str) -> DataFrame:
+    """Shared G67 chain: field-wise CLK Bloom encodings of every distinct
+    valid email (256 bits, 2 md5 hashes, padded bigrams; dotless local and
+    canonical domain encoded separately) compared over the candidate pairs
+    with the 0.7/0.3 weighted Dice composite."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.pprl import clk_composite_pairs
+
+    m = _mentions(spark, sf)
+    uniq = uniq_valid_mentions(m).withColumn(
+        "dotless", F.regexp_replace("local_canon", r"\.", "")
+    )
+    pairs = candidate_pairs(m, hot_threshold=1 << 40).select(
+        "email_a", "email_b"
+    )
+    return clk_composite_pairs(pairs, uniq)
+
+
+def _er_pprl_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """G67 privacy-preserving record linkage (operators/pprl.py): Schnell
+    et al.'s CLK Bloom-filter encodings matched on Dice similarity — the
+    comparison consumes only (surrogate → bit positions), never the
+    plaintext address. Field-wise filters (dotless local, canonical domain)
+    with a 0.7/0.3 composite, because every candidate pair shares most of
+    its domain bigrams and a whole-string filter has no discriminating
+    power. The oracle replays bigrams, both md5 hash positions, filter
+    weights, intersections, and the rounded composite bit-for-bit."""
+    return _pprl_scored(spark, sf)
+
+
+def _er_pprl_match_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """G67 quality: (tp, fp, fn, precision, recall, f1) of the CLK
+    composite at the fixed 0.975 cut vs the labeled truth — the measured
+    privacy tax. On this corpus recall stays 1.0 (every true pair clears
+    the cut) and precision pays ≈ 4-9 points vs the plaintext scorer's
+    1.0: bigram-set encodings cannot distinguish the near-domain
+    collisions plaintext edit distance separates. Same float shapes as
+    er_match_f1, so the comparison is bit-exact."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    scored = _pprl_scored(spark, sf)
+    t = truth_labels(spark, sf)
+    j = scored.join(
+        t.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+        "email_a",
+    ).join(
+        t.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+        "email_b",
+    )
+    pred = F.col("clk_score") >= F.lit(0.975)
+    truth = F.col("mk_a") == F.col("mk_b")
+    agg = j.agg(
+        F.sum((pred & truth).cast("long")).alias("tp"),
+        F.sum((pred & ~truth).cast("long")).alias("fp"),
+        F.sum((~pred & truth).cast("long")).alias("fn"),
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    return (
+        agg.withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
     )
 
 
@@ -2778,6 +2860,35 @@ def oracle_sql() -> dict[str, str]:
             round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
                        ELSE 0.0 END, 6) AS f1
         FROM pr""",
+        # G67 PPRL: CLK bigram/hash/Dice replay over the same candidate set
+        "er_pprl_pairs": _ORACLE_PAIRS
+        + ","
+        + _oracles.pprl_cte()
+        + """
+        SELECT email_a, email_b, dice_local, dice_domain, clk_score
+        FROM pp_scored""",
+        "er_pprl_match_f1": _ORACLE_PAIRS
+        + ","
+        + _oracles.pprl_cte()
+        + """,
+        pp_agg AS (
+            SELECT
+                CAST(sum(CASE WHEN clk_score >= 0.975 AND mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN clk_score >= 0.975 AND mk_a <> mk_b THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+                CAST(sum(CASE WHEN clk_score < 0.975 AND mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT) AS fn
+            FROM pp_scored
+        ),
+        pp_pr AS (
+            SELECT tp, fp, fn,
+                tp / CAST(greatest(tp + fp, 1) AS DOUBLE) AS _p,
+                tp / CAST(greatest(tp + fn, 1) AS DOUBLE) AS _r
+            FROM pp_agg
+        )
+        SELECT tp, fp, fn,
+            round(_p, 6) AS precision, round(_r, 6) AS recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS f1
+        FROM pp_pr""",
         # golden-diff invariant: engine clustering ≡ match_key clustering,
         # so both exceptAll legs are empty and the intersection is every
         # distinct valid email

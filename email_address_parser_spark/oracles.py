@@ -764,3 +764,78 @@ SELECT event_id, user_id, epoch_us(ts) AS ts_us,
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
     RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)"""
+
+
+def pprl_cte(bits: int = 256, weights=(0.7, 0.3)) -> str:
+    """G67 PPRL replay: field-wise CLK Bloom encodings (padded bigrams, two
+    md5 hash positions each mod `bits`) and the weighted Dice composite —
+    assumes `uniq(email, dotless, domain_canon)` and `pairs(email_a,
+    email_b, ...)` CTEs exist (the _ORACLE_PAIRS layout). Produces
+    `pp_scored(email_a, email_b, mk_a, mk_b, dice_local, dice_domain,
+    clk_score)`. The hash is the house first-8-hex md5 kernel (_HEX8), so
+    positions match operators/pprl._hash8 bit-for-bit."""
+    h0 = _HEX8.format(arg="'clk0:' || gram")
+    h1 = _HEX8.format(arg="'clk1:' || gram")
+    wl, wd = weights
+    return f"""
+pp_rec AS (
+    SELECT email, '_' || dotless || '_' AS s_l, '_' || domain_canon || '_' AS s_d
+    FROM uniq
+),
+pp_gl AS (
+    SELECT email, unnest(list_transform(range(1, length(s_l)),
+        i -> substr(s_l, CAST(i AS INT), 2))) AS gram
+    FROM pp_rec
+),
+pp_gd AS (
+    SELECT email, unnest(list_transform(range(1, length(s_d)),
+        i -> substr(s_d, CAST(i AS INT), 2))) AS gram
+    FROM pp_rec
+),
+pp_pl AS (
+    SELECT DISTINCT email, pos FROM (
+        SELECT email, {h0} % {bits} AS pos FROM pp_gl
+        UNION ALL
+        SELECT email, {h1} % {bits} AS pos FROM pp_gl
+    )
+),
+pp_pd AS (
+    SELECT DISTINCT email, pos FROM (
+        SELECT email, {h0} % {bits} AS pos FROM pp_gd
+        UNION ALL
+        SELECT email, {h1} % {bits} AS pos FROM pp_gd
+    )
+),
+pp_wl AS (SELECT email, CAST(count(*) AS BIGINT) AS n FROM pp_pl GROUP BY email),
+pp_wd AS (SELECT email, CAST(count(*) AS BIGINT) AS n FROM pp_pd GROUP BY email),
+pp_il AS (
+    SELECT p.email_a, p.email_b, CAST(count(*) AS BIGINT) AS c
+    FROM pairs p
+    JOIN pp_pl a ON a.email = p.email_a
+    JOIN pp_pl b ON b.email = p.email_b AND b.pos = a.pos
+    GROUP BY p.email_a, p.email_b
+),
+pp_id AS (
+    SELECT p.email_a, p.email_b, CAST(count(*) AS BIGINT) AS c
+    FROM pairs p
+    JOIN pp_pd a ON a.email = p.email_a
+    JOIN pp_pd b ON b.email = p.email_b AND b.pos = a.pos
+    GROUP BY p.email_a, p.email_b
+),
+pp_comp AS (
+    SELECT p.email_a, p.email_b, p.mk_a, p.mk_b,
+        round(2.0 * coalesce(il.c, 0) / (wla.n + wlb.n), 6) AS dice_local,
+        round(2.0 * coalesce(dd.c, 0) / (wda.n + wdb.n), 6) AS dice_domain
+    FROM pairs p
+    JOIN pp_wl wla ON wla.email = p.email_a
+    JOIN pp_wl wlb ON wlb.email = p.email_b
+    JOIN pp_wd wda ON wda.email = p.email_a
+    JOIN pp_wd wdb ON wdb.email = p.email_b
+    LEFT JOIN pp_il il ON il.email_a = p.email_a AND il.email_b = p.email_b
+    LEFT JOIN pp_id dd ON dd.email_a = p.email_a AND dd.email_b = p.email_b
+),
+pp_scored AS (
+    SELECT email_a, email_b, mk_a, mk_b, dice_local, dice_domain,
+        round({wl!r} * dice_local + {wd!r} * dice_domain, 6) AS clk_score
+    FROM pp_comp
+)"""

@@ -2,7 +2,8 @@
 (operators/repair.py), G63 best-match 1-NN star clustering
 (operators/bestmatch.py), G64 Adjusted Rand Index and G65 MUC F1
 (operators/evaluation.py), G66 collective clustering
-(operators/comention.py)."""
+(operators/comention.py), G67 privacy-preserving linkage
+(operators/pprl.py)."""
 
 from __future__ import annotations
 
@@ -284,3 +285,72 @@ def test_collective_rejects_overlapping_band(spark):
     )
     with pytest.raises(ValueError):
         collective_clusters(mentions, scored, threshold=0.90, band=(0.7, 0.95))
+
+
+# ---------------------------------------------------------------------------
+# G67 privacy-preserving record linkage
+# ---------------------------------------------------------------------------
+
+
+def test_clk_encode_deterministic_and_bounded(spark):
+    from email_address_parser_spark.operators.pprl import clk_encode
+
+    rec = spark.createDataFrame(
+        [("a@x.com", "johnsmith"), ("b@y.com", "johnsmith")],
+        ["email", "dotless"],
+    )
+    pos = clk_encode(rec, text_col="dotless")
+    rows = {(r["email"], r["pos"]) for r in pos.collect()}
+    # identical field → identical bit set (encode is a pure function)
+    a = {p for e, p in rows if e == "a@x.com"}
+    b = {p for e, p in rows if e == "b@y.com"}
+    assert a == b and len(a) > 0
+    # bounded: ≤ hashes × bigram count (padded length 11 → 10 bigrams × 2)
+    assert len(a) <= 20
+    assert all(0 <= p < 256 for p in a)
+
+
+def test_clk_dice_identical_and_disjoint(spark):
+    from email_address_parser_spark.operators.pprl import (
+        clk_dice_pairs,
+        clk_encode,
+    )
+
+    rec = spark.createDataFrame(
+        [("a", "johnsmith"), ("b", "johnsmith"), ("c", "zzqqvvww")],
+        ["email", "dotless"],
+    )
+    clk = clk_encode(rec, text_col="dotless")
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], ["email_a", "email_b"]
+    )
+    d = {
+        (r["email_a"], r["email_b"]): r["dice"]
+        for r in clk_dice_pairs(pairs, clk).collect()
+    }
+    assert d[("a", "b")] == 1.0  # identical filters
+    assert d[("a", "c")] < 0.3  # no shared bigrams (collisions only)
+
+
+def test_clk_composite_separates_near_from_far(spark):
+    from email_address_parser_spark.operators.pprl import clk_composite_pairs
+
+    rec = spark.createDataFrame(
+        [
+            ("j@a.com", "johnsmith", "mail.example.com"),
+            ("j@b.com", "johnsmith", "mali.example.com"),  # domain typo
+            ("k@a.com", "katebrown", "mail.example.com"),
+        ],
+        ["email", "dotless", "domain_canon"],
+    )
+    pairs = spark.createDataFrame(
+        [("j@a.com", "j@b.com"), ("j@a.com", "k@a.com")],
+        ["email_a", "email_b"],
+    )
+    out = {
+        (r["email_a"], r["email_b"]): r["clk_score"]
+        for r in clk_composite_pairs(pairs, rec).collect()
+    }
+    # same local + near domain ≫ different local + same domain
+    assert out[("j@a.com", "j@b.com")] > 0.9
+    assert out[("j@a.com", "k@a.com")] < 0.75
