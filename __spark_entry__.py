@@ -190,6 +190,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pprl_pairs": _er_pprl_pairs,
         # G67 quality: the measured privacy tax of matching on encodings
         "er_pprl_match_f1": _er_pprl_match_f1,
+        # G68: privacy-preserving blocking — LSH over the CLK bit positions
+        "er_pprl_blocking_metrics": _er_pprl_blocking_metrics,
+        # G67+G68: the fully private pipeline graded against ALL true pairs
+        "er_pprl_e2e_f1": _er_pprl_e2e_f1,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -1050,6 +1054,143 @@ def _er_pprl_match_f1(spark: SparkSession, sf: str) -> DataFrame:
             "tp",
             "fp",
             "fn",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+def _er_pprl_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
+    """G68 privacy-preserving blocking (operators/pprl.py clk_lsh_pairs):
+    banded minhash-LSH over the local-field CLK bit positions, so candidate
+    generation ALSO runs on encodings (Durham et al.'s Hamming-LSH blocking
+    family) — with G67 scoring this closes the loop: nothing in the
+    pipeline touches plaintext. Same one-row report as er_blocking_metrics
+    (reduction ratio + pair completeness vs the labeled truth); identical
+    filters collide in every band, so exact-variant recall is structural —
+    measured PC 1.0 with RR ≈ 0.92 at sf0.001."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.pprl import clk_encode, clk_lsh_pairs
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    m = _mentions(spark, sf)
+    uniqv = uniq_valid_mentions(m).withColumn(
+        "dotless", F.regexp_replace("local_canon", r"\.", "")
+    )
+    uniq = truth_labels(spark, sf)
+    cand = clk_lsh_pairs(clk_encode(uniqv, text_col="dotless"))
+    n = uniq.agg(F.count(F.lit(1)).alias("n_emails"))
+    candm = (
+        cand.join(
+            uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+            "email_a",
+        )
+        .join(
+            uniq.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+            "email_b",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("candidate_pairs"),
+            F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias(
+                "covered_true_pairs"
+            ),
+        )
+    )
+    true_p = (
+        uniq.groupBy("match_key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("_c * (_c - 1) DIV 2")), F.lit(0)
+            ).alias("true_pairs")
+        )
+    )
+    return (
+        n.crossJoin(candm)
+        .crossJoin(true_p)
+        .select(
+            "n_emails",
+            F.expr("n_emails * (n_emails - 1) DIV 2").alias("possible_pairs"),
+            "candidate_pairs",
+            F.round(
+                F.lit(1.0)
+                - F.col("candidate_pairs")
+                / F.greatest(F.expr("n_emails * (n_emails - 1) DIV 2"), F.lit(1)),
+                6,
+            ).alias("reduction_ratio"),
+            "true_pairs",
+            "covered_true_pairs",
+            F.round(
+                F.col("covered_true_pairs") / F.greatest(F.col("true_pairs"), F.lit(1)),
+                6,
+            ).alias("pair_completeness"),
+        )
+    )
+
+
+def _er_pprl_e2e_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """G67+G68 end-to-end: the FULLY private pipeline — CLK-LSH blocking
+    (G68) feeding the field-wise Dice composite (G67) at the 0.975 cut —
+    graded against ALL labeled true pairs, blocking misses included
+    (fn = true_pairs − tp, unlike er_pprl_match_f1's candidate-scoped fn).
+    The one-row answer to "what does full privacy cost end to end?"."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.pprl import (
+        clk_composite_pairs,
+        clk_encode,
+        clk_lsh_pairs,
+    )
+    from email_address_parser_spark.sources.testdata import truth_labels
+
+    m = _mentions(spark, sf)
+    uniqv = uniq_valid_mentions(m).withColumn(
+        "dotless", F.regexp_replace("local_canon", r"\.", "")
+    )
+    t = truth_labels(spark, sf)
+    cand = clk_lsh_pairs(clk_encode(uniqv, text_col="dotless"))
+    scored = clk_composite_pairs(cand, uniqv)
+    j = scored.join(
+        t.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+        "email_a",
+    ).join(
+        t.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+        "email_b",
+    )
+    pred = F.col("clk_score") >= F.lit(0.975)
+    truth = F.col("mk_a") == F.col("mk_b")
+    agg = j.agg(
+        F.sum((pred & truth).cast("long")).alias("tp"),
+        F.sum((pred & ~truth).cast("long")).alias("fp"),
+    )
+    true_p = (
+        t.groupBy("match_key")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("_c * (_c - 1) DIV 2")), F.lit(0)
+            ).alias("true_pairs")
+        )
+    )
+    stats = agg.crossJoin(true_p).withColumn(
+        "fn", F.col("true_pairs") - F.col("tp")
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r_raw = F.col("tp") / F.greatest(F.col("true_pairs"), F.lit(1))
+    return (
+        stats.withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            "tp",
+            "fp",
+            "fn",
+            "true_pairs",
             F.round(F.col("_p"), 6).alias("precision"),
             F.round(F.col("_r"), 6).alias("recall"),
             F.round(
@@ -2889,6 +3030,79 @@ def oracle_sql() -> dict[str, str]:
             round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
                        ELSE 0.0 END, 6) AS f1
         FROM pp_pr""",
+        # G68: CLK-LSH blocking replay + the er_blocking_metrics shapes
+        "er_pprl_blocking_metrics": _ORACLE_PAIRS
+        + ","
+        + _oracles.pprl_encode_cte()
+        + ","
+        + _oracles.pprl_blocking_cte()
+        + """,
+        pbm_n AS (SELECT CAST(count(*) AS BIGINT) AS n_emails FROM uniq),
+        pbm_cand AS (
+            SELECT CAST(count(*) AS BIGINT) AS candidate_pairs,
+                CAST(coalesce(sum(CASE WHEN a.match_key = b.match_key
+                                       THEN 1 ELSE 0 END), 0) AS BIGINT)
+                    AS covered_true_pairs
+            FROM pb_pairs p
+            JOIN uniq a ON a.email = p.email_a
+            JOIN uniq b ON b.email = p.email_b
+        ),
+        pbm_t AS (
+            SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                AS true_pairs
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM uniq
+                  GROUP BY match_key)
+        )
+        SELECT n_emails,
+            (n_emails * (n_emails - 1)) // 2 AS possible_pairs,
+            candidate_pairs,
+            round(1.0 - candidate_pairs /
+                CAST(greatest((n_emails * (n_emails - 1)) // 2, 1) AS DOUBLE),
+                6) AS reduction_ratio,
+            true_pairs, covered_true_pairs,
+            round(covered_true_pairs / CAST(greatest(true_pairs, 1) AS DOUBLE),
+                6) AS pair_completeness
+        FROM pbm_n, pbm_cand, pbm_t""",
+        # G67+G68 end-to-end: private blocking feeding the private scorer,
+        # recall denominated in ALL true pairs
+        "er_pprl_e2e_f1": _ORACLE_PAIRS
+        + ","
+        + _oracles.pprl_encode_cte()
+        + ","
+        + _oracles.pprl_blocking_cte()
+        + """,
+        pbx AS (
+            SELECT p.email_a, p.email_b,
+                   a.match_key AS mk_a, b.match_key AS mk_b
+            FROM pb_pairs p
+            JOIN uniq a ON a.email = p.email_a
+            JOIN uniq b ON b.email = p.email_b
+        ),"""
+        + _oracles.pprl_compare_cte(pairs_cte="pbx")
+        + """,
+        pe_agg AS (
+            SELECT
+                CAST(sum(CASE WHEN clk_score >= 0.975 AND mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+                CAST(sum(CASE WHEN clk_score >= 0.975 AND mk_a <> mk_b THEN 1 ELSE 0 END) AS BIGINT) AS fp
+            FROM pp_scored
+        ),
+        pe_t AS (
+            SELECT CAST(coalesce(sum((c * (c - 1)) // 2), 0) AS BIGINT)
+                AS true_pairs
+            FROM (SELECT CAST(count(*) AS BIGINT) AS c FROM uniq
+                  GROUP BY match_key)
+        ),
+        pe_pr AS (
+            SELECT tp, fp, true_pairs - tp AS fn, true_pairs,
+                tp / CAST(greatest(tp + fp, 1) AS DOUBLE) AS _p,
+                tp / CAST(greatest(true_pairs, 1) AS DOUBLE) AS _r
+            FROM pe_agg, pe_t
+        )
+        SELECT tp, fp, fn, true_pairs,
+            round(_p, 6) AS precision, round(_r, 6) AS recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS f1
+        FROM pe_pr""",
         # golden-diff invariant: engine clustering ≡ match_key clustering,
         # so both exceptAll legs are empty and the intersection is every
         # distinct valid email

@@ -199,3 +199,84 @@ def clk_composite_pairs(
             6,
         ).alias("clk_score"),
     )
+
+
+def clk_lsh_pairs(
+    clk: DataFrame,
+    id_col: str = "email",
+    max_bucket: int = 50,
+) -> DataFrame:
+    """G68 — privacy-preserving BLOCKING: banded minhash-LSH over the CLK
+    bit positions themselves, so candidate generation — not just scoring —
+    runs on encodings (Durham et al.'s Hamming-LSH blocking for PPRL; same
+    family as the plaintext channels' banded minhash, F7). The blocking
+    party sees only (surrogate, bit positions).
+
+    Mechanics: the filter's set positions are the element set; the house
+    affine permutations (blocking.MINHASH_A/B mod 2^31 — exact int64 on
+    both engines) give a 32-value signature per record, folded into 8
+    bands of 4 (blocking's band fold); records sharing any (band_idx,
+    band_sig) bucket pair up, buckets capped at ``max_bucket`` by a window
+    count (the house cap plan: keeps the exploded table hash-partitioned
+    on the bucket key for the self-join that follows).
+
+    Identical filters (same dotless local) collide in every band, so
+    exact-variant recall is structural; near filters (local typos) collide
+    with the standard banded-LSH probability. Relational end to end — one
+    aggregation per record (32 mins), one window, one self-join.
+    """
+    from email_address_parser_spark.operators.blocking import (
+        _BAND_MULT,
+        M31,
+        MINHASH_A,
+        MINHASH_B,
+        N_BANDS,
+        ROWS_PER_BAND,
+    )
+    from pyspark.sql.window import Window
+
+    n_hashes = N_BANDS * ROWS_PER_BAND
+    aggs = [
+        F.min(
+            (
+                F.lit(int(MINHASH_A[k])) * F.col("pos")
+                + F.lit(int(MINHASH_B[k]))
+            ).bitwiseAND(F.lit(M31))
+        ).alias(f"_s{k}")
+        for k in range(n_hashes)
+    ]
+    sig = clk.groupBy(id_col).agg(*aggs)
+    band_structs = []
+    for b in range(N_BANDS):
+        acc = F.lit(0).cast("long")
+        for r in range(ROWS_PER_BAND):
+            acc = (
+                acc * F.lit(_BAND_MULT) + F.col(f"_s{b * ROWS_PER_BAND + r}")
+            ).bitwiseAND(F.lit(M31))
+        band_structs.append(
+            F.struct(
+                F.lit(b).cast("int").alias("band_idx"),
+                acc.alias("band_sig"),
+            )
+        )
+    banded = sig.select(
+        id_col, F.explode(F.array(*band_structs)).alias("_bd")
+    ).select(id_col, F.col("_bd.band_idx"), F.col("_bd.band_sig"))
+    w = Window.partitionBy("band_idx", "band_sig")
+    bounded = (
+        banded.withColumn("_bn", F.count(F.lit(1)).over(w))
+        .where(F.col("_bn") <= max_bucket)
+        .drop("_bn")
+    )
+    a = bounded.select(
+        F.col(id_col).alias("email_a"), "band_idx", "band_sig"
+    )
+    b = bounded.select(
+        F.col(id_col).alias("email_b"), "band_idx", "band_sig"
+    )
+    return (
+        a.join(b, ["band_idx", "band_sig"])
+        .where(F.col("email_a") < F.col("email_b"))
+        .select("email_a", "email_b")
+        .dropDuplicates(["email_a", "email_b"])
+    )

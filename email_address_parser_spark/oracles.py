@@ -766,17 +766,12 @@ WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
     RANGE BETWEEN {window_us} PRECEDING AND CURRENT ROW)"""
 
 
-def pprl_cte(bits: int = 256, weights=(0.7, 0.3)) -> str:
-    """G67 PPRL replay: field-wise CLK Bloom encodings (padded bigrams, two
-    md5 hash positions each mod `bits`) and the weighted Dice composite —
-    assumes `uniq(email, dotless, domain_canon)` and `pairs(email_a,
-    email_b, ...)` CTEs exist (the _ORACLE_PAIRS layout). Produces
-    `pp_scored(email_a, email_b, mk_a, mk_b, dice_local, dice_domain,
-    clk_score)`. The hash is the house first-8-hex md5 kernel (_HEX8), so
-    positions match operators/pprl._hash8 bit-for-bit."""
+def pprl_encode_cte(bits: int = 256) -> str:
+    """G67 encode replay: field-wise CLK positions and filter weights —
+    assumes `uniq(email, dotless, domain_canon)` exists. Produces
+    pp_pl/pp_pd (positions per field) and pp_wl/pp_wd (popcounts)."""
     h0 = _HEX8.format(arg="'clk0:' || gram")
     h1 = _HEX8.format(arg="'clk1:' || gram")
-    wl, wd = weights
     return f"""
 pp_rec AS (
     SELECT email, '_' || dotless || '_' AS s_l, '_' || domain_canon || '_' AS s_d
@@ -807,35 +802,82 @@ pp_pd AS (
     )
 ),
 pp_wl AS (SELECT email, CAST(count(*) AS BIGINT) AS n FROM pp_pl GROUP BY email),
-pp_wd AS (SELECT email, CAST(count(*) AS BIGINT) AS n FROM pp_pd GROUP BY email),
-pp_il AS (
-    SELECT p.email_a, p.email_b, CAST(count(*) AS BIGINT) AS c
-    FROM pairs p
-    JOIN pp_pl a ON a.email = p.email_a
-    JOIN pp_pl b ON b.email = p.email_b AND b.pos = a.pos
-    GROUP BY p.email_a, p.email_b
-),
-pp_id AS (
-    SELECT p.email_a, p.email_b, CAST(count(*) AS BIGINT) AS c
-    FROM pairs p
-    JOIN pp_pd a ON a.email = p.email_a
-    JOIN pp_pd b ON b.email = p.email_b AND b.pos = a.pos
-    GROUP BY p.email_a, p.email_b
-),
+pp_wd AS (SELECT email, CAST(count(*) AS BIGINT) AS n FROM pp_pd GROUP BY email)"""
+
+
+def pprl_compare_cte(pairs_cte: str = "pairs", weights=(0.7, 0.3)) -> str:
+    """G67 compare replay: Dice via list_intersect over per-record position
+    lists (no per-position join fan-out — the exploded equi-join form
+    spilled DuckDB temp storage at sf0.01) for an arbitrary candidate CTE
+    carrying (email_a, email_b, mk_a, mk_b). Produces pp_scored(email_a,
+    email_b, mk_a, mk_b, dice_local, dice_domain, clk_score)."""
+    wl, wd = weights
+    return f"""
+pp_ll AS (SELECT email, list(pos) AS pl FROM pp_pl GROUP BY email),
+pp_ld AS (SELECT email, list(pos) AS pl FROM pp_pd GROUP BY email),
 pp_comp AS (
     SELECT p.email_a, p.email_b, p.mk_a, p.mk_b,
-        round(2.0 * coalesce(il.c, 0) / (wla.n + wlb.n), 6) AS dice_local,
-        round(2.0 * coalesce(dd.c, 0) / (wda.n + wdb.n), 6) AS dice_domain
-    FROM pairs p
-    JOIN pp_wl wla ON wla.email = p.email_a
-    JOIN pp_wl wlb ON wlb.email = p.email_b
-    JOIN pp_wd wda ON wda.email = p.email_a
-    JOIN pp_wd wdb ON wdb.email = p.email_b
-    LEFT JOIN pp_il il ON il.email_a = p.email_a AND il.email_b = p.email_b
-    LEFT JOIN pp_id dd ON dd.email_a = p.email_a AND dd.email_b = p.email_b
+        round(2.0 * len(list_intersect(la.pl, lb.pl))
+              / (len(la.pl) + len(lb.pl)), 6) AS dice_local,
+        round(2.0 * len(list_intersect(da.pl, db.pl))
+              / (len(da.pl) + len(db.pl)), 6) AS dice_domain
+    FROM {pairs_cte} p
+    JOIN pp_ll la ON la.email = p.email_a
+    JOIN pp_ll lb ON lb.email = p.email_b
+    JOIN pp_ld da ON da.email = p.email_a
+    JOIN pp_ld db ON db.email = p.email_b
 ),
 pp_scored AS (
     SELECT email_a, email_b, mk_a, mk_b, dice_local, dice_domain,
         round({wl!r} * dice_local + {wd!r} * dice_domain, 6) AS clk_score
     FROM pp_comp
+)"""
+
+
+def pprl_cte(bits: int = 256, weights=(0.7, 0.3), pairs_cte: str = "pairs") -> str:
+    """G67 PPRL replay (encode + compare; see pprl_encode_cte /
+    pprl_compare_cte). The hash is the house first-8-hex md5 kernel
+    (_HEX8), so positions match operators/pprl._hash8 bit-for-bit."""
+    return (
+        pprl_encode_cte(bits=bits)
+        + ","
+        + pprl_compare_cte(pairs_cte=pairs_cte, weights=weights)
+    )
+
+def pprl_blocking_cte(max_bucket: int = 50) -> str:
+    """G68 replay: banded minhash-LSH over the local-field CLK positions —
+    assumes `pp_pl(email, pos)` exists (from pprl_cte). Same affine
+    permutations, band fold, and bucket cap as the plaintext channels
+    (minhash_oracle_sql_parts). Produces `pb_pairs(email_a, email_b)`."""
+    p = minhash_oracle_sql_parts()
+    ab_pairs = ", ".join(f"[{a}, {b}]" for a, b in zip(p["a"], p["b"]))
+    M, C = p["m31"], p["band_mult"]
+    rpb, nb = p["rows_per_band"], p["n_bands"]
+    return f"""
+pb_sig AS (
+    SELECT email,
+        list_transform([{ab_pairs}],
+            ab -> list_min(list_transform(pl, x -> (ab[1] * x + ab[2]) & {M}))) AS s
+    FROM (SELECT email, list(pos) AS pl FROM pp_pl GROUP BY email)
+),
+pb_bands AS (
+    SELECT email, t.band_idx,
+        (((((((s[{rpb} * band_idx + 1] * {C} + s[{rpb} * band_idx + 2]) & {M})
+            * {C} + s[{rpb} * band_idx + 3]) & {M}) * {C})
+            + s[{rpb} * band_idx + 4]) & {M}) AS band_sig
+    FROM pb_sig CROSS JOIN range(0, {nb}) AS t(band_idx)
+),
+pb_sizes AS (
+    SELECT band_idx, band_sig, count(*) AS bn
+    FROM pb_bands GROUP BY band_idx, band_sig
+),
+pb_bounded AS (
+    SELECT b.email, b.band_idx, b.band_sig
+    FROM pb_bands b JOIN pb_sizes USING (band_idx, band_sig)
+    WHERE bn <= {max_bucket}
+),
+pb_pairs AS (
+    SELECT DISTINCT a.email AS email_a, b.email AS email_b
+    FROM pb_bounded a JOIN pb_bounded b USING (band_idx, band_sig)
+    WHERE a.email < b.email
 )"""

@@ -2,7 +2,7 @@
 (operators/repair.py), G63 best-match 1-NN star clustering
 (operators/bestmatch.py), G64 Adjusted Rand Index and G65 MUC F1
 (operators/evaluation.py), G66 collective clustering
-(operators/comention.py), G67 privacy-preserving linkage
+(operators/comention.py), G67/G68 privacy-preserving linkage + blocking
 (operators/pprl.py)."""
 
 from __future__ import annotations
@@ -354,3 +354,44 @@ def test_clk_composite_separates_near_from_far(spark):
     # same local + near domain ≫ different local + same domain
     assert out[("j@a.com", "j@b.com")] > 0.9
     assert out[("j@a.com", "k@a.com")] < 0.75
+
+
+def test_clk_lsh_identical_filters_always_pair(spark):
+    from email_address_parser_spark.operators.pprl import (
+        clk_encode,
+        clk_lsh_pairs,
+    )
+
+    rec = spark.createDataFrame(
+        [("a", "johnsmith"), ("b", "johnsmith"), ("c", "xyzzyplugh")],
+        ["email", "dotless"],
+    )
+    pairs = {
+        (r["email_a"], r["email_b"])
+        for r in clk_lsh_pairs(clk_encode(rec, text_col="dotless")).collect()
+    }
+    # identical filters share every band → structural recall
+    assert ("a", "b") in pairs
+
+
+def test_clk_lsh_bucket_cap_prunes_hot_signature(spark):
+    from email_address_parser_spark.operators.pprl import (
+        clk_encode,
+        clk_lsh_pairs,
+    )
+
+    # 5 identical filters with cap 4: every bucket they share overflows,
+    # so NO pair among them survives; the distinct pair is unaffected
+    rec = spark.createDataFrame(
+        [(f"h{i}", "hotlocal") for i in range(5)]
+        + [("u1", "uniqueone"), ("u2", "uniqueone")],
+        ["email", "dotless"],
+    )
+    pairs = {
+        (r["email_a"], r["email_b"])
+        for r in clk_lsh_pairs(
+            clk_encode(rec, text_col="dotless"), max_bucket=4
+        ).collect()
+    }
+    assert ("u1", "u2") in pairs
+    assert not any(a.startswith("h") and b.startswith("h") for a, b in pairs)
