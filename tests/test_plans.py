@@ -492,3 +492,70 @@ def test_snm_rank_is_range_partitioned_not_single_partition(spark):
     # the offsets come back via broadcast, never a shuffled join
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_best_match_edges_single_window_exchange(spark):
+    """G63: the per-node argmax is a window row_number over the symmetrized
+    pairs — ONE hash exchange on the node key and no groupBy-max join-back
+    (which would cost two)."""
+    from email_address_parser_spark.operators.bestmatch import best_match_edges
+    from email_address_parser_spark.plans import count_exchanges, executed_plan
+
+    scored = spark.createDataFrame(
+        [("a", "b", 0.9), ("b", "c", 0.8)], ["email_a", "email_b", "score"]
+    )
+    df = best_match_edges(scored, floor=0.7)
+    df.write.format("noop").mode("overwrite").save()
+    assert count_exchanges(df) == 1
+    assert executed_plan(df).count("Window") >= 1
+
+
+def test_clk_dice_pairs_no_generate_fanout(spark):
+    """G67: the Dice comparison rides packed 64-bit masks — the pair path
+    must contain NO Generate (explode) node; intersecting is AND/popcount
+    expressions, not a per-position row fan-out."""
+    from email_address_parser_spark.operators.pprl import clk_dice_pairs
+    from email_address_parser_spark.plans import executed_plan
+
+    clk = spark.createDataFrame(
+        [("a", 3), ("a", 70), ("b", 3), ("b", 130)], ["email", "pos"]
+    )
+    pairs = spark.createDataFrame([("a", "b")], ["email_a", "email_b"])
+    df = clk_dice_pairs(pairs, clk)
+    df.write.format("noop").mode("overwrite").save()
+    assert "Generate" not in executed_plan(df)
+
+
+def test_must_link_remap_is_broadcast(spark):
+    """G62: the quotient remap joins back to the corpus-sized cluster table
+    as a broadcast probe — never a shuffled join on the big side."""
+    from email_address_parser_spark.operators.repair import must_link_merge
+    from email_address_parser_spark.plans import executed_plan
+
+    clusters = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c")], ["email", "cluster_id"]
+    )
+    cons = spark.createDataFrame([("a", "c")], ["email_x", "email_y"])
+    df = must_link_merge(clusters, cons)
+    df.write.format("noop").mode("overwrite").save()
+    assert "BroadcastHashJoin" in executed_plan(df)
+
+
+def test_clk_lsh_cap_is_window_not_join_back(spark):
+    """G68: the bucket cap is a window count over (band_idx, band_sig) —
+    the house cap plan: one Window per self-join side (the signature
+    subtree is duplicated by design, like the plaintext channels — cheap
+    vs the expansion) and the window's band-key exchange is the ONLY
+    band-keyed exchange on each side, i.e. the self-join reuses it
+    instead of re-shuffling."""
+    from email_address_parser_spark.operators.pprl import clk_encode, clk_lsh_pairs
+    from email_address_parser_spark.plans import executed_plan
+
+    rec = spark.createDataFrame(
+        [("a", "john"), ("b", "john"), ("c", "kate")], ["email", "dotless"]
+    )
+    df = clk_lsh_pairs(clk_encode(rec, text_col="dotless"))
+    df.write.format("noop").mode("overwrite").save()
+    plan = executed_plan(df)
+    assert plan.count("Window") == 2
+    assert plan.count("Exchange hashpartitioning(band_idx") == 2
