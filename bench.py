@@ -287,9 +287,28 @@ def main() -> None:
 
         _force(metablock_pairs(uniq_valid_mentions(mentions_c)))
 
+    def q_pprl():
+        # G67+G68 fully private chain: CLK-LSH blocking over encodings
+        # feeding the field-wise Dice composite scorer
+        from email_address_parser_spark.operators.pprl import (
+            clk_composite_pairs,
+            clk_encode,
+            clk_lsh_pairs,
+        )
+
+        uniqv = uniq_valid_mentions(mentions_c).withColumn(
+            "dotless", F.regexp_replace("local_canon", r"\.", "")
+        )
+        _force(
+            clk_composite_pairs(
+                clk_lsh_pairs(clk_encode(uniqv, text_col="dotless")), uniqv
+            )
+        )
+
     suite = {
         "er_mentions": q_mentions,
         "er_metablocking": q_metablock,
+        "er_pprl": q_pprl,
         "er_pairs_scored": q_pairs_scored,
         "er_pipeline": q_pipeline,
         "q1_pricing_summary": q_q1,
