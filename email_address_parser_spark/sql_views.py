@@ -29,6 +29,11 @@ def register_er_views(
       er_mentions    — extracted + parsed + canonicalized mentions
       er_uniq        — distinct valid emails with canonical columns
       er_star_edges  — exact-canonical guaranteed-match star edges
+      er_clk_masks   — G67 privacy surface: per email the packed 256-bit
+                       CLK filter (m0..m3 + popcount n) of the dotless
+                       local — the ONLY view a privacy-preserving matcher
+                       party needs (SELECT on it never exposes plaintext
+                       locals; Dice is bit_count(m&m')-arithmetic in SQL)
       er_clusters    — (optional, runs the full pipeline) email → cluster_id
     """
     register_views(spark, sf_dir, tables=TABLES)
@@ -39,7 +44,25 @@ def register_er_views(
     uniq = uniq_valid_mentions(mentions)
     uniq.createOrReplaceTempView("er_uniq")
     exact_match_edges(mentions, uniq=uniq).createOrReplaceTempView("er_star_edges")
-    views = ["er_transcripts", "er_mentions", "er_uniq", "er_star_edges"]
+    from pyspark.sql import functions as F
+
+    from .operators.pprl import clk_encode, clk_masks
+
+    clk_masks(
+        clk_encode(
+            uniq.withColumn(
+                "dotless", F.regexp_replace("local_canon", r"\.", "")
+            ),
+            text_col="dotless",
+        )
+    ).createOrReplaceTempView("er_clk_masks")
+    views = [
+        "er_transcripts",
+        "er_mentions",
+        "er_uniq",
+        "er_star_edges",
+        "er_clk_masks",
+    ]
     if with_clusters:
         from .operators.blocking import candidate_pairs
         from .operators.scoring import match_edges, score_pairs

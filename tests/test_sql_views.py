@@ -79,3 +79,32 @@ def test_sql_views_agree_with_dataframes(spark):
            WHERE t.cluster_id = c.cluster_id"""
     ).collect()[0].n
     assert tree_agree == n_uniq      # tree rows mirror the clustering
+
+
+def test_clk_masks_view_is_privacy_preserving_and_usable(spark):
+    """The G67 SQL surface: er_clk_masks exposes only (email surrogate,
+    packed filter words, popcount) — no plaintext-derived string columns —
+    yet pure-SQL Dice over it reproduces the operator (identical dotless
+    locals → identical masks → dice 1.0)."""
+    from email_address_parser_spark.sql_views import register_er_views
+
+    register_er_views(spark, "/root/testdata/sf0.001")
+    cols = {f.name for f in spark.table("er_clk_masks").schema.fields}
+    assert cols == {"email", "m0", "m1", "m2", "m3", "n"}
+
+    # SQL-side Dice between the two dot-variants of one local: the dotless
+    # canon is equal, so the filters are identical and dice = 1.0
+    row = spark.sql(
+        """
+        SELECT round(2.0 * (bit_count(a.m0 & b.m0) + bit_count(a.m1 & b.m1)
+                     + bit_count(a.m2 & b.m2) + bit_count(a.m3 & b.m3))
+               / (a.n + b.n), 6) AS dice
+        FROM er_clk_masks a
+        JOIN er_clk_masks b ON a.email < b.email
+        JOIN er_uniq ua ON ua.email = a.email
+        JOIN er_uniq ub ON ub.email = b.email
+        WHERE replace(ua.local_canon, '.', '') = replace(ub.local_canon, '.', '')
+        LIMIT 1
+        """
+    ).collect()
+    assert row and row[0].dice == 1.0
