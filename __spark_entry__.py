@@ -194,6 +194,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pprl_blocking_metrics": _er_pprl_blocking_metrics,
         # G67+G68: the fully private pipeline graded against ALL true pairs
         "er_pprl_e2e_f1": _er_pprl_e2e_f1,
+        # G67 tuning curve: the PR sweep behind the fixed 0.975 cut
+        "er_pprl_sweep": _er_pprl_sweep,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -1191,6 +1193,80 @@ def _er_pprl_e2e_f1(spark: SparkSession, sf: str) -> DataFrame:
             "fp",
             "fn",
             "true_pairs",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )
+
+
+def _er_pprl_sweep(spark: SparkSession, sf: str) -> DataFrame:
+    """G67 tuning curve: P/R/F1 at every 0.01-wide clk_score bucket in one
+    pass — the er_threshold_sweep report for the privacy-preserving scorer,
+    the evidence behind the fixed 0.975 cut (the match-composite floor sits
+    at 0.9757, so recall is 1.0 down to that bucket and precision decays
+    below it). Same map-side bucket collapse: the pair stream reduces to
+    ≤101 rows before any window sees it."""
+    from email_address_parser_spark.sources.testdata import truth_labels
+    from pyspark.sql.window import Window
+
+    scored = _pprl_scored(spark, sf)
+    uniq = truth_labels(spark, sf)
+    j = scored.join(
+        uniq.select(F.col("email").alias("email_a"), F.col("match_key").alias("mk_a")),
+        "email_a",
+    ).join(
+        uniq.select(F.col("email").alias("email_b"), F.col("match_key").alias("mk_b")),
+        "email_b",
+    )
+    buckets = j.groupBy(
+        F.floor(F.col("clk_score") * F.lit(100)).alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).alias("pairs"),
+        F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias("true_pairs"),
+    )
+    w_desc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cum = buckets.select(
+        "bucket",
+        "pairs",
+        "true_pairs",
+        F.sum("pairs").over(w_desc).alias("_cp"),
+        F.sum("true_pairs").over(w_desc).alias("_ct"),
+        F.sum("true_pairs").over(w_all).alias("_tt"),
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1)).cast("double")
+    r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1)).cast("double")
+    return (
+        cum.select(
+            "bucket",
+            (F.col("bucket") / F.lit(100.0)).alias("threshold"),
+            "pairs",
+            "true_pairs",
+            F.col("_ct").alias("tp"),
+            (F.col("_cp") - F.col("_ct")).alias("fp"),
+            (F.col("_tt") - F.col("_ct")).alias("fn"),
+        )
+        .withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            "bucket",
+            "threshold",
+            "pairs",
+            "true_pairs",
+            "tp",
+            "fp",
+            "fn",
             F.round(F.col("_p"), 6).alias("precision"),
             F.round(F.col("_r"), 6).alias("recall"),
             F.round(
@@ -3030,6 +3106,42 @@ def oracle_sql() -> dict[str, str]:
             round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
                        ELSE 0.0 END, 6) AS f1
         FROM pp_pr""",
+        # G67 sweep: bucket collapse + cumulative windows over clk_score,
+        # same shapes as er_threshold_sweep
+        "er_pprl_sweep": _ORACLE_PAIRS
+        + ","
+        + _oracles.pprl_cte()
+        + """,
+        psw_buckets AS (
+            SELECT CAST(floor(clk_score * 100) AS BIGINT) AS bucket,
+                CAST(count(*) AS BIGINT) AS pairs,
+                CAST(sum(CASE WHEN mk_a = mk_b THEN 1 ELSE 0 END) AS BIGINT)
+                    AS true_pairs
+            FROM pp_scored GROUP BY 1
+        ),
+        psw_cum AS (
+            SELECT bucket, pairs, true_pairs,
+                sum(pairs) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _cp,
+                sum(true_pairs) OVER (ORDER BY bucket DESC
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _ct,
+                sum(true_pairs) OVER () AS _tt
+            FROM psw_buckets
+        ),
+        psw_pr AS (
+            SELECT bucket, bucket / 100.0 AS threshold, pairs, true_pairs,
+                CAST(_ct AS BIGINT) AS tp,
+                CAST(_cp - _ct AS BIGINT) AS fp,
+                CAST(_tt - _ct AS BIGINT) AS fn,
+                _ct / CAST(greatest(_cp, 1) AS DOUBLE) AS _p,
+                _ct / CAST(greatest(_tt, 1) AS DOUBLE) AS _r
+            FROM psw_cum
+        )
+        SELECT bucket, threshold, pairs, true_pairs, tp, fp, fn,
+            round(_p, 6) AS precision, round(_r, 6) AS recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS f1
+        FROM psw_pr""",
         # G68: CLK-LSH blocking replay + the er_blocking_metrics shapes
         "er_pprl_blocking_metrics": _ORACLE_PAIRS
         + ","
