@@ -196,6 +196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pprl_e2e_f1": _er_pprl_e2e_f1,
         # G67 tuning curve: the PR sweep behind the fixed 0.975 cut
         "er_pprl_sweep": _er_pprl_sweep,
+        # G67 audit: anonymity-class histogram (frequency-attack risk)
+        "er_pprl_anonymity": _er_pprl_anonymity,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -1276,6 +1278,36 @@ def _er_pprl_sweep(spark: SparkSession, sf: str) -> DataFrame:
                 ).otherwise(F.lit(0.0)),
                 6,
             ).alias("f1"),
+        )
+    )
+
+
+def _er_pprl_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """G67 audit: the anonymity-class histogram of the CLK filters — how
+    many distinct filters are shared by exactly k encoded locals
+    (multiplicity, n_filters, n_emails). The PPRL literature's standard
+    risk lens: a filter in a k=1 class is uniquely linkable under a
+    frequency attack (the attacker aligns filter frequencies with known
+    plaintext frequencies), while larger classes form k-anonymity sets.
+    Filters are equal iff their position sets are equal, so the oracle
+    groups by the sorted position list while Spark groups by the packed
+    mask words — same partition of emails, bit-exact counts."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.pprl import clk_encode, clk_masks
+
+    m = _mentions(spark, sf)
+    uniqv = uniq_valid_mentions(m).withColumn(
+        "dotless", F.regexp_replace("local_canon", r"\.", "")
+    )
+    masks = clk_masks(clk_encode(uniqv, text_col="dotless"))
+    classes = masks.groupBy("m0", "m1", "m2", "m3").agg(
+        F.count(F.lit(1)).alias("k")
+    )
+    return (
+        classes.groupBy(F.col("k").alias("multiplicity"))
+        .agg(
+            F.count(F.lit(1)).alias("n_filters"),
+            F.sum("k").alias("n_emails"),
         )
     )
 
@@ -3142,6 +3174,24 @@ def oracle_sql() -> dict[str, str]:
             round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
                        ELSE 0.0 END, 6) AS f1
         FROM psw_pr""",
+        # G67 audit: filters equal iff position sets equal — group by the
+        # sorted position list (Spark groups by the packed words)
+        "er_pprl_anonymity": _ORACLE_PAIRS
+        + ","
+        + _oracles.pprl_encode_cte()
+        + """,
+        pa_sets AS (
+            SELECT email, list_sort(list(pos)) AS ps
+            FROM pp_pl GROUP BY email
+        ),
+        pa_classes AS (
+            SELECT ps, CAST(count(*) AS BIGINT) AS k
+            FROM pa_sets GROUP BY ps
+        )
+        SELECT k AS multiplicity,
+               CAST(count(*) AS BIGINT) AS n_filters,
+               CAST(sum(k) AS BIGINT) AS n_emails
+        FROM pa_classes GROUP BY k""",
         # G68: CLK-LSH blocking replay + the er_blocking_metrics shapes
         "er_pprl_blocking_metrics": _ORACLE_PAIRS
         + ","
