@@ -395,3 +395,60 @@ def test_clk_lsh_bucket_cap_prunes_hot_signature(spark):
     }
     assert ("u1", "u2") in pairs
     assert not any(a.startswith("h") and b.startswith("h") for a, b in pairs)
+
+
+def test_clk_invariants_over_random_batch(spark):
+    """CLK algebra invariants over a deterministic pseudo-random batch:
+    popcount(mask) == |distinct positions|, dice(x, x) == 1, and dice is
+    symmetric in its arguments."""
+    import random
+
+    from email_address_parser_spark.operators.pprl import (
+        clk_dice_pairs,
+        clk_encode,
+        clk_masks,
+    )
+
+    rng = random.Random(0xC1C)
+    alphabet = "abcdefghijklmnopqrstuvwxyz0123456789."
+    names = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(1, 20)))
+        for _ in range(40)
+    ]
+    rec = spark.createDataFrame(
+        [(f"e{i}", s) for i, s in enumerate(names)], ["email", "dotless"]
+    )
+    clk = clk_encode(rec, text_col="dotless").persist()
+
+    # popcount == distinct position count
+    pos_n = {r["email"]: r["n"] for r in clk.groupBy("email").count()
+             .withColumnRenamed("count", "n").collect()}
+    mask_n = {r["email"]: r["n"] for r in clk_masks(clk).collect()}
+    assert pos_n == mask_n
+
+    # dice(x, x) == 1
+    self_pairs = spark.createDataFrame(
+        [(f"e{i}", f"e{i}") for i in range(40)], ["email_a", "email_b"]
+    )
+    assert all(
+        r["dice"] == 1.0 for r in clk_dice_pairs(self_pairs, clk).collect()
+    )
+
+    # symmetry
+    fwd = spark.createDataFrame(
+        [(f"e{i}", f"e{i+1}") for i in range(0, 38, 2)],
+        ["email_a", "email_b"],
+    )
+    rev = fwd.select(
+        fwd.email_b.alias("email_a"), fwd.email_a.alias("email_b")
+    )
+    d1 = {
+        frozenset((r["email_a"], r["email_b"])): r["dice"]
+        for r in clk_dice_pairs(fwd, clk).collect()
+    }
+    d2 = {
+        frozenset((r["email_a"], r["email_b"])): r["dice"]
+        for r in clk_dice_pairs(rev, clk).collect()
+    }
+    assert d1 == d2
+    clk.unpersist()
