@@ -623,20 +623,15 @@ def _er_domain_aliases(spark: SparkSession, sf: str) -> DataFrame:
     return domain_aliases(uniq_valid_mentions(_mentions(spark, sf)))
 
 
-def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
-    """B-cubed precision/recall/F1 (operators/evaluation.py) of two
-    clusterings against the labeled truth (testdata.truth_labels):
-
-      * `engine` — the full blocking→scoring→CC pipeline. Expected 1.0
-        everywhere (the er_clusters triple-match certifies engine ==
-        truth clustering, which licenses the oracle's match-key replay).
-      * `exact_canonical` — the ablation that stops at exact-canonical
-        identity (min email per (local_canon, domain_canon)); its B³
-        recall < 1 is exactly the domain-typo recall the fuzzy + cross-
-        domain channels buy, now measured per-item instead of pairwise.
-    """
+def _graded_systems(spark: SparkSession, sf: str):
+    """The two clusterings every cluster-quality metric grades — shared by
+    er_bcubed / er_ari / er_muc so the ablation definition and the
+    pipeline knobs cannot drift per-metric: `engine` (the full
+    blocking→scoring→CC pipeline) and `exact_canonical` (min email per
+    (local_canon, domain_canon) — the string-identity ablation whose
+    sub-1 rows quantify the recall the fuzzy + cross-domain channels
+    buy), plus the labeled truth (testdata.truth_labels)."""
     from email_address_parser_spark.operators.blocking import uniq_valid_mentions
-    from email_address_parser_spark.operators.evaluation import bcubed
     from email_address_parser_spark.sources.testdata import truth_labels
     from pyspark.sql.window import Window
 
@@ -651,6 +646,24 @@ def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
         .over(Window.partitionBy("local_canon", "domain_canon"))
         .alias("cluster_id"),
     )
+    return engine, exactc, truth
+
+
+def _er_bcubed(spark: SparkSession, sf: str) -> DataFrame:
+    """B-cubed precision/recall/F1 (operators/evaluation.py) of two
+    clusterings against the labeled truth (testdata.truth_labels):
+
+      * `engine` — the full blocking→scoring→CC pipeline. Expected 1.0
+        everywhere (the er_clusters triple-match certifies engine ==
+        truth clustering, which licenses the oracle's match-key replay).
+      * `exact_canonical` — the ablation that stops at exact-canonical
+        identity (min email per (local_canon, domain_canon)); its B³
+        recall < 1 is exactly the domain-typo recall the fuzzy + cross-
+        domain channels buy, now measured per-item instead of pairwise.
+    """
+    from email_address_parser_spark.operators.evaluation import bcubed
+
+    engine, exactc, truth = _graded_systems(spark, sf)
     return bcubed(engine, truth, label="engine").unionByName(
         bcubed(exactc, truth, label="exact_canonical")
     )
@@ -918,22 +931,9 @@ def _er_ari(spark: SparkSession, sf: str) -> DataFrame:
     same domain-typo recall gap B³ shows, on the third standard scale.
     All sums are integer-valued doubles (exact), so the triple-match is
     bit-for-bit."""
-    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
     from email_address_parser_spark.operators.evaluation import adjusted_rand
-    from email_address_parser_spark.sources.testdata import truth_labels
-    from pyspark.sql.window import Window
 
-    m = _mentions(spark, sf)
-    truth = truth_labels(spark, sf)
-    engine = cluster_mentions(
-        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
-    )
-    exactc = uniq_valid_mentions(m).select(
-        "email",
-        F.min("email")
-        .over(Window.partitionBy("local_canon", "domain_canon"))
-        .alias("cluster_id"),
-    )
+    engine, exactc, truth = _graded_systems(spark, sf)
     return adjusted_rand(engine, truth, label="engine").unionByName(
         adjusted_rand(exactc, truth, label="exact_canonical")
     )
@@ -946,22 +946,9 @@ def _er_muc(spark: SparkSession, sf: str) -> DataFrame:
     link-minimal). MUC ignores singletons entirely, so the ablation row
     isolates the LINK recall the fuzzy channels buy, undiluted by the
     mass of correctly-singleton addresses. Integer sums → bit-exact."""
-    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
     from email_address_parser_spark.operators.evaluation import muc
-    from email_address_parser_spark.sources.testdata import truth_labels
-    from pyspark.sql.window import Window
 
-    m = _mentions(spark, sf)
-    truth = truth_labels(spark, sf)
-    engine = cluster_mentions(
-        m, match_edges(score_pairs(candidate_pairs(m, hot_threshold=1 << 40)))
-    )
-    exactc = uniq_valid_mentions(m).select(
-        "email",
-        F.min("email")
-        .over(Window.partitionBy("local_canon", "domain_canon"))
-        .alias("cluster_id"),
-    )
+    engine, exactc, truth = _graded_systems(spark, sf)
     return muc(engine, truth, label="engine").unionByName(
         muc(exactc, truth, label="exact_canonical")
     )
@@ -999,12 +986,13 @@ def _pprl_scored(spark: SparkSession, sf: str) -> DataFrame:
     canonical domain encoded separately) compared over the candidate pairs
     with the 0.7/0.3 weighted Dice composite."""
     from email_address_parser_spark.operators.blocking import uniq_valid_mentions
-    from email_address_parser_spark.operators.pprl import clk_composite_pairs
+    from email_address_parser_spark.operators.pprl import (
+        clk_composite_pairs,
+        with_dotless,
+    )
 
     m = _mentions(spark, sf)
-    uniq = uniq_valid_mentions(m).withColumn(
-        "dotless", F.regexp_replace("local_canon", r"\.", "")
-    )
+    uniq = with_dotless(uniq_valid_mentions(m))
     pairs = candidate_pairs(m, hot_threshold=1 << 40).select(
         "email_a", "email_b"
     )
@@ -1081,13 +1069,15 @@ def _er_pprl_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
     filters collide in every band, so exact-variant recall is structural —
     measured PC 1.0 with RR ≈ 0.92 at sf0.001."""
     from email_address_parser_spark.operators.blocking import uniq_valid_mentions
-    from email_address_parser_spark.operators.pprl import clk_encode, clk_lsh_pairs
+    from email_address_parser_spark.operators.pprl import (
+        clk_encode,
+        clk_lsh_pairs,
+        with_dotless,
+    )
     from email_address_parser_spark.sources.testdata import truth_labels
 
     m = _mentions(spark, sf)
-    uniqv = uniq_valid_mentions(m).withColumn(
-        "dotless", F.regexp_replace("local_canon", r"\.", "")
-    )
+    uniqv = with_dotless(uniq_valid_mentions(m))
     uniq = truth_labels(spark, sf)
     cand = clk_lsh_pairs(clk_encode(uniqv, text_col="dotless"))
     n = uniq.agg(F.count(F.lit(1)).alias("n_emails"))
@@ -1102,9 +1092,10 @@ def _er_pprl_blocking_metrics(spark: SparkSession, sf: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("candidate_pairs"),
-            F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias(
-                "covered_true_pairs"
-            ),
+            F.coalesce(
+                F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")),
+                F.lit(0).cast("long"),
+            ).alias("covered_true_pairs"),
         )
     )
     true_p = (
@@ -1150,13 +1141,12 @@ def _er_pprl_e2e_f1(spark: SparkSession, sf: str) -> DataFrame:
         clk_composite_pairs,
         clk_encode,
         clk_lsh_pairs,
+        with_dotless,
     )
     from email_address_parser_spark.sources.testdata import truth_labels
 
     m = _mentions(spark, sf)
-    uniqv = uniq_valid_mentions(m).withColumn(
-        "dotless", F.regexp_replace("local_canon", r"\.", "")
-    )
+    uniqv = with_dotless(uniq_valid_mentions(m))
     t = truth_labels(spark, sf)
     cand = clk_lsh_pairs(clk_encode(uniqv, text_col="dotless"))
     scored = clk_composite_pairs(cand, uniqv)
@@ -1293,12 +1283,14 @@ def _er_pprl_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     groups by the sorted position list while Spark groups by the packed
     mask words — same partition of emails, bit-exact counts."""
     from email_address_parser_spark.operators.blocking import uniq_valid_mentions
-    from email_address_parser_spark.operators.pprl import clk_encode, clk_masks
+    from email_address_parser_spark.operators.pprl import (
+        clk_encode,
+        clk_masks,
+        with_dotless,
+    )
 
     m = _mentions(spark, sf)
-    uniqv = uniq_valid_mentions(m).withColumn(
-        "dotless", F.regexp_replace("local_canon", r"\.", "")
-    )
+    uniqv = with_dotless(uniq_valid_mentions(m))
     masks = clk_masks(clk_encode(uniqv, text_col="dotless"))
     classes = masks.groupBy("m0", "m1", "m2", "m3").agg(
         F.count(F.lit(1)).alias("k")
@@ -2736,14 +2728,21 @@ def oracle_sql() -> dict[str, str]:
             FROM base b
             JOIN pc ON pc.system = b.system
             JOIN tc ON tc.system = b.system
+        ),
+        ari_g AS (
+            SELECT system, n_emails, _idx, _sc, _sk,
+                CASE WHEN _tot > 0 THEN _sc * _sk / _tot ELSE 0.0 END AS _exp,
+                (_sc + _sk) / 2.0 AS _max
+            FROM ari_in
         )
         SELECT system, n_emails,
             round(_idx, 6) AS index_pairs,
-            round(_sc * _sk / _tot, 6) AS expected_pairs,
-            round((_sc + _sk) / 2.0, 6) AS max_pairs,
-            round((_idx - _sc * _sk / _tot)
-                / ((_sc + _sk) / 2.0 - _sc * _sk / _tot), 6) AS ari
-        FROM ari_in""",
+            round(_exp, 6) AS expected_pairs,
+            round(_max, 6) AS max_pairs,
+            round(CASE WHEN _max - _exp > 0
+                       THEN (_idx - _exp) / (_max - _exp)
+                       ELSE 1.0 END, 6) AS ari
+        FROM ari_g""",
         # G65 MUC: link-edit counting over the same cells; integer sums,
         # three final divisions — bit-exact
         "er_muc": MENTIONS_EXPECTED_CTE
@@ -2792,16 +2791,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_c - 1) AS BIGINT) AS _pd
             FROM by_c GROUP BY system
         )
-        SELECT b.system, b.n_emails,
-            round(CAST(_pn AS DOUBLE) / _pd, 6) AS muc_precision,
-            round(CAST(_rn AS DOUBLE) / _rd, 6) AS muc_recall,
-            round(2.0 * (CAST(_pn AS DOUBLE) / _pd)
-                      * (CAST(_rn AS DOUBLE) / _rd)
-                / ((CAST(_pn AS DOUBLE) / _pd)
-                   + (CAST(_rn AS DOUBLE) / _rd)), 6) AS muc_f1
-        FROM base b
-        JOIN rk ON rk.system = b.system
-        JOIN pk ON pk.system = b.system""",
+        ,
+        muc_g AS (
+            SELECT b.system, b.n_emails,
+                CASE WHEN _pd > 0 THEN CAST(_pn AS DOUBLE) / _pd
+                     ELSE 0.0 END AS _p,
+                CASE WHEN _rd > 0 THEN CAST(_rn AS DOUBLE) / _rd
+                     ELSE 0.0 END AS _r
+            FROM base b
+            JOIN rk ON rk.system = b.system
+            JOIN pk ON pk.system = b.system
+        )
+        SELECT system, n_emails,
+            round(_p, 6) AS muc_precision,
+            round(_r, 6) AS muc_recall,
+            round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+                       ELSE 0.0 END, 6) AS muc_f1
+        FROM muc_g""",
         # blocking skew-cost: distinct emails per exact-channel block key,
         # quadratic pair cost via integer DIV, share against the broadcast
         # scalar total, deterministic top-20

@@ -97,11 +97,10 @@ def main() -> None:
         clk_composite_pairs,
         clk_encode,
         clk_lsh_pairs,
+        with_dotless,
     )
 
-    warm_uniq = uniq_valid_mentions(warm).withColumn(
-        "dotless", F.regexp_replace("local_canon", r"\.", "")
-    )
+    warm_uniq = with_dotless(uniq_valid_mentions(warm))
     _force(
         clk_composite_pairs(
             clk_lsh_pairs(clk_encode(warm_uniq, text_col="dotless")), warm_uniq
@@ -315,9 +314,7 @@ def main() -> None:
         # the distinct-email dim feeds both field encodes AND both sides of
         # the blocking self-join — persist it like q_pipeline's uniq (A/B at
         # sf0.1, warm, 2 reps: 14.4/14.8 s plain vs 9.9/9.8 s persisted)
-        uniqv = uniq_valid_mentions(mentions_c).withColumn(
-            "dotless", F.regexp_replace("local_canon", r"\.", "")
-        ).persist()
+        uniqv = with_dotless(uniq_valid_mentions(mentions_c)).persist()
         _force(
             clk_composite_pairs(
                 clk_lsh_pairs(clk_encode(uniqv, text_col="dotless")), uniqv

@@ -103,8 +103,9 @@ def adjusted_rand(
 
     Scale shape is identical to ``bcubed``: one email-keyed equi-join, one
     (pred, truth) cell aggregation bounded by the number of non-empty
-    cells, two size dims derived from the cells, single-row reduce. All
-    integer until the final division; rounded to 6 decimals (house parity
+    cells, two size dims derived from the cells, single-row reduce. Every
+    sum is an integer-valued double (exact below 2^53); only the final
+    ratio is a true float, rounded to 6 decimals (house parity
     convention). The reference repo is a parser with no counterpart; the
     metric is public literature.
     """
@@ -127,8 +128,16 @@ def adjusted_rand(
     ).crossJoin(
         truth_sz.agg(F.sum(_c2("n_k")).alias("_sk"))
     )
+    # degenerate guards (mirrored in the er_ari oracle SQL): with a single
+    # item C2(N) = 0, so expected is pinned to 0; and when max_index ==
+    # expected (both partitions degenerate-identical: all-singletons vs
+    # all-singletons, or one-cluster vs one-cluster) the chance-corrected
+    # ratio is 0/0 — the Hubert–Arabie convention (and sklearn's) is 1.0,
+    # perfect agreement
     tot = _c2("n_emails")
-    expected = F.col("_sc") * F.col("_sk") / tot
+    expected = F.when(tot > 0, F.col("_sc") * F.col("_sk") / tot).otherwise(
+        F.lit(0.0)
+    )
     max_index = (F.col("_sc") + F.col("_sk")) / F.lit(2.0)
     out = stats.select(
         F.col("n_emails"),
@@ -136,7 +145,11 @@ def adjusted_rand(
         F.round(expected, 6).alias("expected_pairs"),
         F.round(max_index, 6).alias("max_pairs"),
         F.round(
-            (F.col("_idx") - expected) / (max_index - expected), 6
+            F.when(
+                max_index - expected > 0,
+                (F.col("_idx") - expected) / (max_index - expected),
+            ).otherwise(F.lit(1.0)),
+            6,
         ).alias("ari"),
     )
     if label is not None:
@@ -198,13 +211,26 @@ def muc(
             )
         )
     )
-    p = F.col("_pn").cast("double") / F.col("_pd")
-    r = F.col("_rn").cast("double") / F.col("_rd")
+    # degenerate guards (mirrored in the er_muc oracle SQL): an
+    # all-singletons side has zero links, so its denominator is 0 —
+    # convention 0.0, not NULL; and f1 guards p+r like every other F1 in
+    # the codebase
+    p = F.when(
+        F.col("_pd") > 0, F.col("_pn").cast("double") / F.col("_pd")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("_rd") > 0, F.col("_rn").cast("double") / F.col("_rd")
+    ).otherwise(F.lit(0.0))
     out = stats.select(
         F.col("n_emails"),
         F.round(p, 6).alias("muc_precision"),
         F.round(r, 6).alias("muc_recall"),
-        F.round(F.lit(2.0) * p * r / (p + r), 6).alias("muc_f1"),
+        F.round(
+            F.when(p + r > 0, F.lit(2.0) * p * r / (p + r)).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("muc_f1"),
     )
     if label is not None:
         out = out.select(F.lit(label).alias("system"), "*")

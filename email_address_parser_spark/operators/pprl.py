@@ -11,10 +11,13 @@ Dice coefficient
     dice(A, B) = 2 |A ∩ B| / (|A| + |B|)
 
 over set bit positions. The party doing the matching never sees the
-plaintext identifiers — here, the canonical email string never leaves the
-encoder; every downstream comparison consumes (email surrogate → bit set).
-The reference repo is a parser with no counterpart; the scheme is public
-literature.
+plaintext identifiers. Inside this engine the operators run on the
+encoder's side (rows keyed by the engine's email ids, but every COMPARISON
+reads only positions/masks); the actual cross-party boundary is the
+`er_clk_masks` SQL view (sql_views.py), which keys rows by an opaque
+sha-256 surrogate so no exposed column derives reversibly from the
+plaintext. The reference repo is a parser with no counterpart; the scheme
+is public literature.
 
 Determinism & parity: the k hash functions are the house md5 uniform
 kernel (`sampling._uniform_hash`'s first-8-hex construction) with salts
@@ -39,6 +42,16 @@ from pyspark.sql import functions as F
 
 CLK_BITS = 256
 CLK_HASHES = 2
+
+
+def with_dotless(uniq: DataFrame) -> DataFrame:
+    """Attach the PPRL local-field contract column: the dot-insignificant
+    local. One definition for every call site (driver queries, bench, SQL
+    surface) because it MUST stay bit-identical to the oracle replay's
+    `replace(local_canon, '.', '')`."""
+    return uniq.withColumn(
+        "dotless", F.regexp_replace("local_canon", r"\.", "")
+    )
 
 
 def _hash8(col: F.Column) -> F.Column:
@@ -91,6 +104,11 @@ def clk_masks(
     set, one field: 3.2 s vs 9.8 s for the exploded position equi-join
     this replaced — ~3×, and the gap is the ~30-row-per-pair fan-out the
     masks delete, so it widens with corpus size)."""
+    if bits % 64:
+        raise ValueError(
+            f"bits must be a multiple of 64 (got {bits}) — positions "
+            ">= (bits//64)*64 would silently vanish from the packed words"
+        )
     words = bits // 64
     bit = F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))")
     aggs = [

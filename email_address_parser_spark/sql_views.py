@@ -29,11 +29,15 @@ def register_er_views(
       er_mentions    — extracted + parsed + canonicalized mentions
       er_uniq        — distinct valid emails with canonical columns
       er_star_edges  — exact-canonical guaranteed-match star edges
-      er_clk_masks   — G67 privacy surface: per email the packed 256-bit
-                       CLK filter (m0..m3 + popcount n) of the dotless
-                       local — the ONLY view a privacy-preserving matcher
-                       party needs (SELECT on it never exposes plaintext
-                       locals; Dice is bit_count(m&m')-arithmetic in SQL)
+      er_clk_masks   — G67 privacy surface: one row per record with the
+                       packed 256-bit CLK filter (m0..m3 + popcount n) of
+                       the dotless local, keyed by an OPAQUE sha-256
+                       surrogate (`sid`) — the ONLY view a
+                       privacy-preserving matcher party needs; no column
+                       derives reversibly from the plaintext (the
+                       sid↔email mapping stays with the encoder, who can
+                       recompute it), and Dice is bit_count(m&m')
+                       arithmetic in SQL
       er_clusters    — (optional, runs the full pipeline) email → cluster_id
     """
     register_views(spark, sf_dir, tables=TABLES)
@@ -46,15 +50,17 @@ def register_er_views(
     exact_match_edges(mentions, uniq=uniq).createOrReplaceTempView("er_star_edges")
     from pyspark.sql import functions as F
 
-    from .operators.pprl import clk_encode, clk_masks
+    from .operators.pprl import clk_encode, clk_masks, with_dotless
 
     clk_masks(
-        clk_encode(
-            uniq.withColumn(
-                "dotless", F.regexp_replace("local_canon", r"\.", "")
-            ),
-            text_col="dotless",
-        )
+        clk_encode(with_dotless(uniq), text_col="dotless")
+    ).select(
+        F.sha2(F.concat(F.lit("sid:"), F.col("email")), 256).alias("sid"),
+        "m0",
+        "m1",
+        "m2",
+        "m3",
+        "n",
     ).createOrReplaceTempView("er_clk_masks")
     views = [
         "er_transcripts",

@@ -452,3 +452,58 @@ def test_clk_invariants_over_random_batch(spark):
     }
     assert d1 == d2
     clk.unpersist()
+
+
+def test_ari_identical_degenerate_partitions_is_one(spark):
+    from email_address_parser_spark.operators.evaluation import adjusted_rand
+
+    # both all-singletons: expected == max_index == 0 → convention 1.0
+    truth = spark.createDataFrame(
+        [(e, f"k{e}") for e in "abcd"], ["email", "match_key"]
+    )
+    singles = spark.createDataFrame(
+        [(e, e) for e in "abcd"], ["email", "cluster_id"]
+    )
+    row = adjusted_rand(singles, truth).collect()[0]
+    assert row["ari"] == 1.0
+    # single item: C2(1) = 0 everywhere → same convention, no NULL
+    row1 = adjusted_rand(
+        spark.createDataFrame([("a", "a")], ["email", "cluster_id"]),
+        spark.createDataFrame([("a", "k")], ["email", "match_key"]),
+    ).collect()[0]
+    assert row1["ari"] == 1.0
+
+
+def test_muc_degenerate_partitions_yield_zero_not_null(spark):
+    from email_address_parser_spark.operators.evaluation import muc
+
+    # truth all singletons: zero truth links → recall 0.0 (not NULL)
+    truth = spark.createDataFrame(
+        [(e, f"k{e}") for e in "abcd"], ["email", "match_key"]
+    )
+    pred = spark.createDataFrame(
+        [("a", "a"), ("b", "a"), ("c", "c"), ("d", "c")],
+        ["email", "cluster_id"],
+    )
+    row = muc(pred, truth).collect()[0]
+    assert row["muc_recall"] == 0.0 and row["muc_precision"] == 0.0
+    assert row["muc_f1"] == 0.0
+
+    # fully-crossed 2x2: p = r = 0 → f1 0.0, no 0/0 NULL
+    truth2 = spark.createDataFrame(
+        [("a", "k1"), ("c", "k1"), ("b", "k2"), ("d", "k2")],
+        ["email", "match_key"],
+    )
+    row2 = muc(pred, truth2).collect()[0]
+    assert (row2["muc_precision"], row2["muc_recall"], row2["muc_f1"]) == (
+        0.0, 0.0, 0.0,
+    )
+
+
+def test_clk_masks_rejects_non_word_multiple_bits(spark):
+    from email_address_parser_spark.operators.pprl import clk_dice_pairs
+
+    clk = spark.createDataFrame([("a", 3)], ["email", "pos"])
+    pairs = spark.createDataFrame([("a", "a")], ["email_a", "email_b"])
+    with pytest.raises(ValueError):
+        clk_dice_pairs(pairs, clk, bits=96)

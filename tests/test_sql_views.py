@@ -82,28 +82,38 @@ def test_sql_views_agree_with_dataframes(spark):
 
 
 def test_clk_masks_view_is_privacy_preserving_and_usable(spark):
-    """The G67 SQL surface: er_clk_masks exposes only (email surrogate,
-    packed filter words, popcount) — no plaintext-derived string columns —
-    yet pure-SQL Dice over it reproduces the operator (identical dotless
-    locals → identical masks → dice 1.0)."""
+    """The G67 SQL surface: er_clk_masks exposes only (opaque sha-256
+    surrogate, packed filter words, popcount) — NO plaintext column and no
+    reversible derivation of one — yet pure-SQL Dice over it reproduces
+    the operator (identical dotless locals → identical masks → dice 1.0;
+    the encoder party, which holds the sid mapping, joins back to verify).
+    """
     from email_address_parser_spark.sql_views import register_er_views
 
     register_er_views(spark, "/root/testdata/sf0.001")
     cols = {f.name for f in spark.table("er_clk_masks").schema.fields}
-    assert cols == {"email", "m0", "m1", "m2", "m3", "n"}
+    assert cols == {"sid", "m0", "m1", "m2", "m3", "n"}
 
     # SQL-side Dice between the two dot-variants of one local: the dotless
-    # canon is equal, so the filters are identical and dice = 1.0
+    # canon is equal, so the filters are identical and dice = 1.0. The
+    # test plays the ENCODER party, recomputing sids from er_uniq; the
+    # matcher party never could (sha-256 of the plaintext it lacks).
     row = spark.sql(
         """
+        WITH sids AS (
+            SELECT email, local_canon,
+                   sha2(concat('sid:', email), 256) AS sid
+            FROM er_uniq
+        )
         SELECT round(2.0 * (bit_count(a.m0 & b.m0) + bit_count(a.m1 & b.m1)
                      + bit_count(a.m2 & b.m2) + bit_count(a.m3 & b.m3))
                / (a.n + b.n), 6) AS dice
         FROM er_clk_masks a
-        JOIN er_clk_masks b ON a.email < b.email
-        JOIN er_uniq ua ON ua.email = a.email
-        JOIN er_uniq ub ON ub.email = b.email
-        WHERE replace(ua.local_canon, '.', '') = replace(ub.local_canon, '.', '')
+        JOIN er_clk_masks b ON a.sid < b.sid
+        JOIN sids ua ON ua.sid = a.sid
+        JOIN sids ub ON ub.sid = b.sid
+        WHERE ua.email <> ub.email
+          AND replace(ua.local_canon, '.', '') = replace(ub.local_canon, '.', '')
         LIMIT 1
         """
     ).collect()
