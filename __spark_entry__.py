@@ -198,6 +198,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_pprl_sweep": _er_pprl_sweep,
         # G67 audit: anonymity-class histogram (frequency-attack risk)
         "er_pprl_anonymity": _er_pprl_anonymity,
+        # G69: the closure-strategy scoreboard — B³ for all four clusterings
+        "er_clustering_compare": _er_clustering_compare,  # oracle below
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -951,6 +953,61 @@ def _er_muc(spark: SparkSession, sf: str) -> DataFrame:
     engine, exactc, truth = _graded_systems(spark, sf)
     return muc(engine, truth, label="engine").unionByName(
         muc(exactc, truth, label="exact_canonical")
+    )
+
+
+def _er_clustering_compare(spark: SparkSession, sf: str) -> DataFrame:
+    """G69 — the closure-strategy scoreboard: B³ precision/recall/F1 for
+    every clustering strategy the engine ships, graded against the labeled
+    truth on ONE shared scored-pair pass:
+
+      * `engine`            — full transitive closure at the 0.90 cut;
+      * `exact_canonical`   — string-identity ablation (no fuzzy channels);
+      * `best_match_070`    — 1-NN star closure over floor-0.70 candidates
+                              (G63, precision-leaning);
+      * `collective_099`    — conservative 0.99 cut + co-mention promotion
+                              (G66, relational evidence).
+
+    This is the table an ER operator reads when choosing a closure
+    strategy for a new corpus: how much recall the ablation loses, whether
+    best-match's precision insurance costs anything here, and whether
+    context can replace threshold slack. The oracle rebuilds all four
+    partitions in SQL (match-key replay licensed by er_clusters; the
+    window ablation; the argmax-walk and promotion-walk replays from
+    er_best_match_clusters / er_collective_clusters) and runs the same
+    cell decomposition, so the whole scoreboard triple-matches."""
+    from email_address_parser_spark.operators.bestmatch import (
+        best_match_clusters,
+    )
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.comention import (
+        collective_clusters,
+    )
+    from email_address_parser_spark.operators.evaluation import bcubed
+    from email_address_parser_spark.sources.testdata import truth_labels
+    from pyspark.sql.window import Window
+
+    m = _mentions(spark, sf)
+    scored = score_pairs(
+        candidate_pairs(m, hot_threshold=1 << 40)
+    ).localCheckpoint(eager=False)
+    truth = truth_labels(spark, sf)
+    engine = cluster_mentions(m, match_edges(scored))
+    exactc = uniq_valid_mentions(m).select(
+        "email",
+        F.min("email")
+        .over(Window.partitionBy("local_canon", "domain_canon"))
+        .alias("cluster_id"),
+    )
+    bm = best_match_clusters(m, scored, floor=0.70)
+    coll = collective_clusters(
+        m, scored, threshold=0.99, band=(0.90, 0.99), min_convs=1
+    )
+    return (
+        bcubed(engine, truth, label="engine")
+        .unionByName(bcubed(exactc, truth, label="exact_canonical"))
+        .unionByName(bcubed(bm, truth, label="best_match_070"))
+        .unionByName(bcubed(coll, truth, label="collective_099"))
     )
 
 
@@ -2128,6 +2185,68 @@ scored AS (
 )
 """
 
+# shared replay CTE chunks (assume the _ORACLE_PAIRS layout: uniq, scored)
+_BM_CTES = """bm_above AS (
+            SELECT email_a, email_b, score FROM scored WHERE score >= 0.70
+        ),
+        bm_sym AS (
+            SELECT email_a AS node, email_b AS nbr, score FROM bm_above
+            UNION ALL
+            SELECT email_b, email_a, score FROM bm_above
+        ),
+        bm_best AS (
+            SELECT node AS a, nbr AS b FROM (
+                SELECT node, nbr, row_number() OVER (
+                    PARTITION BY node ORDER BY score DESC, nbr ASC
+                ) AS rn
+                FROM bm_sym
+            ) WHERE rn = 1
+        ),
+        bm_und AS (SELECT a, b FROM bm_best UNION SELECT b, a FROM bm_best),
+        bm_walk(node, root) AS (
+            SELECT email, email FROM uniq
+            UNION
+            SELECT s.b, w.root
+            FROM bm_walk w JOIN bm_und s ON s.a = w.node
+        )"""
+
+_CX_CTES = """cx_ce AS (
+            SELECT DISTINCT conv_id, email
+            FROM mentions_expected WHERE valid_lax
+        ),
+        cx_small AS (
+            SELECT conv_id FROM cx_ce GROUP BY conv_id HAVING count(*) <= 16
+        ),
+        cx_kept AS (
+            SELECT c.conv_id, c.email FROM cx_ce c JOIN cx_small USING (conv_id)
+        ),
+        cx_aff AS (
+            SELECT a.email AS email_a, b.email AS email_b,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM cx_kept a
+            JOIN cx_kept b ON a.conv_id = b.conv_id AND a.email < b.email
+            GROUP BY a.email, b.email
+        ),
+        cx_promoted AS (
+            SELECT s.email_a AS a, s.email_b AS b
+            FROM scored s
+            JOIN cx_aff f
+              ON f.email_a = s.email_a AND f.email_b = s.email_b
+            WHERE s.score >= 0.90 AND s.score < 0.99 AND f.n_convs >= 1
+        ),
+        cx_edges AS (
+            SELECT email_a AS a, email_b AS b FROM scored WHERE score >= 0.99
+            UNION ALL SELECT a, b FROM cx_promoted
+        ),
+        cx_sym AS (SELECT a, b FROM cx_edges UNION SELECT b, a FROM cx_edges),
+        cx_walk(node, root) AS (
+            SELECT email, email FROM uniq
+            UNION
+            SELECT s.b, w.root
+            FROM cx_walk w JOIN cx_sym s ON s.a = w.node
+        )"""
+
+
 _ORACLE_CLUSTERS = MENTIONS_EXPECTED_CTE + """,
 uniq AS (
     SELECT DISTINCT email, match_key FROM mentions_expected WHERE valid_lax
@@ -2369,30 +2488,9 @@ def oracle_sql() -> dict[str, str]:
         "er_best_match_clusters": _ORACLE_PAIRS.replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1
         )
-        + """,
-        bm_above AS (
-            SELECT email_a, email_b, score FROM scored WHERE score >= 0.70
-        ),
-        bm_sym AS (
-            SELECT email_a AS node, email_b AS nbr, score FROM bm_above
-            UNION ALL
-            SELECT email_b, email_a, score FROM bm_above
-        ),
-        bm_best AS (
-            SELECT node AS a, nbr AS b FROM (
-                SELECT node, nbr, row_number() OVER (
-                    PARTITION BY node ORDER BY score DESC, nbr ASC
-                ) AS rn
-                FROM bm_sym
-            ) WHERE rn = 1
-        ),
-        bm_und AS (SELECT a, b FROM bm_best UNION SELECT b, a FROM bm_best),
-        bm_walk(node, root) AS (
-            SELECT email, email FROM uniq
-            UNION
-            SELECT s.b, w.root
-            FROM bm_walk w JOIN bm_und s ON s.a = w.node
-        )
+        + ",\n"
+        + _BM_CTES
+        + """
         SELECT node AS email, min(root) AS cluster_id
         FROM bm_walk GROUP BY node""",
         # collective ER replayed: capped co-mention affinity → promotion of
@@ -2401,44 +2499,76 @@ def oracle_sql() -> dict[str, str]:
         "er_collective_clusters": _ORACLE_PAIRS.replace(
             "\nWITH ", "\nWITH RECURSIVE ", 1
         )
-        + """,
-        cx_ce AS (
-            SELECT DISTINCT conv_id, email
-            FROM mentions_expected WHERE valid_lax
-        ),
-        cx_small AS (
-            SELECT conv_id FROM cx_ce GROUP BY conv_id HAVING count(*) <= 16
-        ),
-        cx_kept AS (
-            SELECT c.conv_id, c.email FROM cx_ce c JOIN cx_small USING (conv_id)
-        ),
-        cx_aff AS (
-            SELECT a.email AS email_a, b.email AS email_b,
-                   CAST(count(*) AS BIGINT) AS n_convs
-            FROM cx_kept a
-            JOIN cx_kept b ON a.conv_id = b.conv_id AND a.email < b.email
-            GROUP BY a.email, b.email
-        ),
-        cx_promoted AS (
-            SELECT s.email_a AS a, s.email_b AS b
-            FROM scored s
-            JOIN cx_aff f
-              ON f.email_a = s.email_a AND f.email_b = s.email_b
-            WHERE s.score >= 0.90 AND s.score < 0.99 AND f.n_convs >= 1
-        ),
-        cx_edges AS (
-            SELECT email_a AS a, email_b AS b FROM scored WHERE score >= 0.99
-            UNION ALL SELECT a, b FROM cx_promoted
-        ),
-        cx_sym AS (SELECT a, b FROM cx_edges UNION SELECT b, a FROM cx_edges),
-        cx_walk(node, root) AS (
-            SELECT email, email FROM uniq
-            UNION
-            SELECT s.b, w.root
-            FROM cx_walk w JOIN cx_sym s ON s.a = w.node
-        )
+        + ",\n"
+        + _CX_CTES
+        + """
         SELECT node AS email, min(root) AS cluster_id
         FROM cx_walk GROUP BY node""",
+        # G69 scoreboard: all four partitions rebuilt in SQL + the B-cubed
+        # cell decomposition (same shapes as er_bcubed, four systems)
+        "er_clustering_compare": _ORACLE_PAIRS.replace(
+            "\nWITH ", "\nWITH RECURSIVE ", 1
+        )
+        + ",\n"
+        + _BM_CTES
+        + ",\n"
+        + _CX_CTES
+        + """,
+        cmp_bm AS (
+            SELECT node AS email, min(root) AS cluster_id
+            FROM bm_walk GROUP BY node
+        ),
+        cmp_cx AS (
+            SELECT node AS email, min(root) AS cluster_id
+            FROM cx_walk GROUP BY node
+        ),
+        cmp_labeled AS (
+            SELECT 'engine' AS system,
+                   min(email) OVER (PARTITION BY match_key) AS cluster_id,
+                   match_key
+            FROM uniq
+            UNION ALL
+            SELECT 'exact_canonical',
+                   min(email) OVER (PARTITION BY local_canon, domain_canon),
+                   match_key
+            FROM uniq
+            UNION ALL
+            SELECT 'best_match_070', l.cluster_id, u.match_key
+            FROM cmp_bm l JOIN uniq u ON u.email = l.email
+            UNION ALL
+            SELECT 'collective_099', l.cluster_id, u.match_key
+            FROM cmp_cx l JOIN uniq u ON u.email = l.email
+        ),
+        cmp_cells AS (
+            SELECT system, cluster_id, match_key,
+                   CAST(count(*) AS BIGINT) AS n_ck
+            FROM cmp_labeled GROUP BY system, cluster_id, match_key
+        ),
+        cmp_pred AS (
+            SELECT system, cluster_id, CAST(sum(n_ck) AS BIGINT) AS n_c
+            FROM cmp_cells GROUP BY system, cluster_id
+        ),
+        cmp_tr AS (
+            SELECT system, match_key, CAST(sum(n_ck) AS BIGINT) AS n_k
+            FROM cmp_cells GROUP BY system, match_key
+        ),
+        cmp_stats AS (
+            SELECT c.system,
+                   CAST(sum(n_ck) AS BIGINT) AS n_emails,
+                   sum((CAST(n_ck AS DOUBLE) * n_ck) / n_c) AS _sp,
+                   sum((CAST(n_ck AS DOUBLE) * n_ck) / n_k) AS _sr
+            FROM cmp_cells c
+            JOIN cmp_pred p ON c.system = p.system
+                AND c.cluster_id = p.cluster_id
+            JOIN cmp_tr t ON c.system = t.system
+                AND c.match_key = t.match_key
+            GROUP BY c.system
+        )
+        SELECT system, n_emails,
+               round(_sp / n_emails, 6) AS b3_precision,
+               round(_sr / n_emails, 6) AS b3_recall,
+               round(2.0 * _sp * _sr / (n_emails * (_sp + _sr)), 6) AS b3_f1
+        FROM cmp_stats""",
         # depth-bounded recursive BFS walk + min-depth/min-parent reduction
         # replays the deterministic spanning forest exactly
         "er_merge_tree": _ORACLE_PAIRS.replace(
