@@ -199,7 +199,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G67 audit: anonymity-class histogram (frequency-attack risk)
         "er_pprl_anonymity": _er_pprl_anonymity,
         # G69: the closure-strategy scoreboard — B³ for all four clusterings
-        "er_clustering_compare": _er_clustering_compare,  # oracle below
+        "er_clustering_compare": _er_clustering_compare,
+        # G70: incremental private-index fold (fold == full re-encode)
+        "er_pprl_index_incr": _er_pprl_index_incr,
         # F14 regression diffing vs golden: exceptAll both ways + intersect
         # between the engine's clustering and the match_key clustering
         "er_clusters_diff_golden": _er_clusters_diff_golden,
@@ -1359,6 +1361,30 @@ def _er_pprl_anonymity(spark: SparkSession, sf: str) -> DataFrame:
             F.sum("k").alias("n_emails"),
         )
     )
+
+
+def _er_pprl_index_incr(spark: SparkSession, sf: str) -> DataFrame:
+    """G70 incremental private-index maintenance (operators/pprl.py
+    fold_clk): bootstrap the CLK position index from the ~80% of addresses
+    whose email hashes below the split point, then fold the remaining ~20%
+    in — only never-seen addresses are encoded (one email-keyed anti-join),
+    the append is batch-sized (append-only MoR buckets, pytest pins the
+    disk path + re-fold no-op). The oracle is the FULL-corpus encode
+    replay, so the triple-match certifies fold == from-scratch re-encode —
+    the same equivalence contract as the cluster/dedup/ANN folds."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.pprl import (
+        build_clk_state,
+        fold_clk,
+        with_dotless,
+    )
+
+    m = _mentions(spark, sf)
+    uniqv = with_dotless(uniq_valid_mentions(m)).localCheckpoint(eager=False)
+    is_prev = F.pmod(F.xxhash64("email"), F.lit(5)) != 0
+    state = build_clk_state(uniqv.where(is_prev))
+    out = fold_clk(uniqv.where(~is_prev), state)
+    return out["state"]["clk_pos"]
 
 
 def _er_forget(spark: SparkSession, sf: str) -> DataFrame:
@@ -3310,6 +3336,17 @@ def oracle_sql() -> dict[str, str]:
             round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
                        ELSE 0.0 END, 6) AS f1
         FROM psw_pr""",
+        # G70: fold == from-scratch — the oracle is the full-corpus encode
+        "er_pprl_index_incr": MENTIONS_EXPECTED_CTE
+        + """,
+        uniq AS (
+            SELECT DISTINCT email, replace(local_canon, '.', '') AS dotless,
+                   domain_canon
+            FROM mentions_expected WHERE valid_lax
+        ),"""
+        + _oracles.pprl_encode_cte()
+        + """
+        SELECT email, pos FROM pp_pl""",
         # G67 audit: filters equal iff position sets equal — group by the
         # sorted position list (Spark groups by the packed words)
         "er_pprl_anonymity": _ORACLE_PAIRS

@@ -298,3 +298,46 @@ def clk_lsh_pairs(
         .select("email_a", "email_b")
         .dropDuplicates(["email_a", "email_b"])
     )
+
+
+# ---------------------------------------------------------------------------
+# G70 — incremental private-index maintenance
+# ---------------------------------------------------------------------------
+
+# The CLK position table is append-only state (a record's filter is a pure
+# function of its field, so rows never change — no merge key), bucketed by
+# email for batch-sized MoR appends (streaming/incremental_stream.write_state_mor)
+CLK_STATE_TABLES = ("clk_pos",)
+CLK_STATE_KEYS: dict = {}
+CLK_BUCKET_KEYS = {"clk_pos": ["email"]}
+
+
+def build_clk_state(uniq: DataFrame, text_col: str = "dotless") -> dict:
+    """Bootstrap the private index: encode every current record once.
+    → {"clk_pos": (email, pos)} for write_state_mor(mode='overwrite')."""
+    return {"clk_pos": clk_encode(uniq, text_col=text_col)}
+
+
+def fold_clk(
+    batch_uniq: DataFrame, state: dict, text_col: str = "dotless"
+) -> dict:
+    """G70 — fold a batch of records into the maintained private index:
+    encode ONLY addresses the index has never seen (one email-keyed
+    anti-join against state), append their positions. The same fold
+    contract as the cluster/dedup/ANN folds (G24/G26/G27): cost is a
+    function of the batch, the state write is batch-sized (append-only
+    MoR buckets), and re-folding an already-folded batch is a no-op —
+    encode is a pure per-record function, so fold == from-scratch
+    re-encode of the grown corpus (the er_pprl_index_incr oracle
+    certifies exactly that against the full-corpus encode replay).
+
+    → {"delta": (email, pos) to append, "state": {"clk_pos": resolved
+    view after the fold}}.
+    """
+    existing = state["clk_pos"].select("email").dropDuplicates(["email"])
+    new = batch_uniq.join(existing, "email", "left_anti")
+    delta = clk_encode(new, text_col=text_col)
+    return {
+        "delta": delta,
+        "state": {"clk_pos": state["clk_pos"].unionByName(delta)},
+    }

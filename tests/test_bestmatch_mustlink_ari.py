@@ -507,3 +507,53 @@ def test_clk_masks_rejects_non_word_multiple_bits(spark):
     pairs = spark.createDataFrame([("a", "a")], ["email_a", "email_b"])
     with pytest.raises(ValueError):
         clk_dice_pairs(pairs, clk, bits=96)
+
+
+def test_clk_fold_mor_roundtrip_and_idempotency(spark, tmp_path):
+    """G70 disk-path contract: bootstrap → MoR append fold → read_state
+    equals a from-scratch encode of the grown corpus; re-folding the same
+    batch appends nothing."""
+    from email_address_parser_spark.operators.pprl import (
+        CLK_BUCKET_KEYS,
+        CLK_STATE_KEYS,
+        CLK_STATE_TABLES,
+        build_clk_state,
+        clk_encode,
+        fold_clk,
+    )
+    from email_address_parser_spark.streaming.incremental_stream import (
+        read_state,
+        write_state_mor,
+    )
+
+    all_rec = spark.createDataFrame(
+        [("a@x", "ann"), ("b@x", "bob"), ("c@x", "cara"), ("d@x", "dan")],
+        ["email", "dotless"],
+    )
+    prev = all_rec.where("email < 'c'")
+    # the batch overlaps the bootstrap (c is new twice, b already indexed)
+    batch = all_rec.where("email >= 'b'")
+    d = str(tmp_path / "clk_state")
+    write_state_mor(
+        build_clk_state(prev), d, mode="overwrite",
+        tables=CLK_STATE_TABLES, merge_keys=CLK_STATE_KEYS,
+        bucket_keys=CLK_BUCKET_KEYS,
+    )
+    out = fold_clk(batch, read_state(spark, d, tables=CLK_STATE_TABLES))
+    # delta covers exactly the never-seen emails
+    assert {r["email"] for r in out["delta"].select("email").distinct().collect()} == {
+        "c@x", "d@x",
+    }
+    write_state_mor(
+        {"clk_pos": out["delta"]}, d, mode="append",
+        tables=CLK_STATE_TABLES, merge_keys=CLK_STATE_KEYS,
+        bucket_keys=CLK_BUCKET_KEYS,
+    )
+    resolved = read_state(spark, d, tables=CLK_STATE_TABLES)["clk_pos"]
+    expect = clk_encode(all_rec, text_col="dotless")
+    assert sorted(map(tuple, resolved.collect())) == sorted(
+        map(tuple, expect.collect())
+    )
+    # re-fold: nothing new
+    again = fold_clk(batch, read_state(spark, d, tables=CLK_STATE_TABLES))
+    assert again["delta"].count() == 0
