@@ -1,0 +1,126 @@
+"""F1 source adapters: JSONL and CSV transcript readers.
+
+A user of the reference parses addresses out of whatever text they have;
+the engine's ingestion seam therefore accepts the common interchange
+formats alongside parquet/Iceberg, normalizing everything to the
+input_hint shape `(conv_id string, turn_idx int, role string, text string,
+tool string, ts timestamp)` that every downstream operator consumes.
+
+Design rules (Spark-first):
+
+  * EXPLICIT schema on read — `spark.read.json/csv` without one runs a
+    whole inference pass over the data (a second full scan at 100 TB) and
+    silently widens types; the fixed input_hint schema makes the read a
+    single streaming-decode pass and turns malformed rows into NULLs we
+    can count instead of schema drift.
+  * PERMISSIVE mode with a `_corrupt_record` column: bad lines survive as
+    diagnosable rows; `strict=True` fails the read on the first one
+    (FAILFAST) for pipelines that prefer to die loudly.
+  * normalization is pure Catalyst: trim/cast, turn empty strings into
+    NULL tool values, drop exact duplicate (conv_id, turn_idx) keeping
+    the first by file order — the dedup every re-delivered export needs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+TRANSCRIPT_SCHEMA = T.StructType(
+    [
+        T.StructField("conv_id", T.StringType()),
+        T.StructField("turn_idx", T.IntegerType()),
+        T.StructField("role", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("tool", T.StringType()),
+        T.StructField("ts", T.TimestampType()),
+    ]
+)
+
+_CORRUPT = "_corrupt_record"
+
+
+def _schema_with_corrupt() -> T.StructType:
+    # StructType.add MUTATES the receiver (and returns it), so building from
+    # the module-level schema via .add would permanently grow it on first
+    # use and raise COLUMN_ALREADY_EXISTS on the second — construct fresh
+    return T.StructType(
+        list(TRANSCRIPT_SCHEMA.fields) + [T.StructField(_CORRUPT, T.StringType())]
+    )
+
+
+def _normalize(df: DataFrame) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc_nulls_last())
+    return (
+        df.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
+        .withColumn(
+            "tool",
+            F.when(F.trim(F.col("tool")) == "", F.lit(None)).otherwise(
+                F.col("tool")
+            ),
+        )
+        .withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+        .select("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    )
+
+
+def read_transcripts_jsonl(
+    spark: SparkSession, path: str, strict: bool = False
+) -> DataFrame:
+    """One JSON object per line → input_hint-shaped transcripts. Extra JSON
+    fields are ignored (schema projection); missing fields are NULL."""
+    schema = _schema_with_corrupt()
+    df = spark.read.schema(schema).option(
+        "mode", "FAILFAST" if strict else "PERMISSIVE"
+    ).option("columnNameOfCorruptRecord", _CORRUPT).json(path)
+    return _normalize(df.where(F.col(_CORRUPT).isNull()).drop(_CORRUPT))
+
+
+def read_transcripts_csv(
+    spark: SparkSession,
+    path: str,
+    strict: bool = False,
+    header: bool = True,
+    ts_format: str = "yyyy-MM-dd HH:mm:ss",
+) -> DataFrame:
+    """Headered CSV → input_hint-shaped transcripts (multiline-quoted text
+    cells supported — transcript turns contain newlines)."""
+    schema = _schema_with_corrupt()
+    df = (
+        spark.read.schema(schema)
+        .option("header", header)
+        .option("multiLine", True)
+        .option("escape", '"')
+        .option("timestampFormat", ts_format)
+        .option("mode", "FAILFAST" if strict else "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", _CORRUPT)
+        .csv(path)
+    )
+    return _normalize(df.where(F.col(_CORRUPT).isNull()).drop(_CORRUPT))
+
+
+def corrupt_record_count(
+    spark: SparkSession, path: str, fmt: str = "json"
+) -> int:
+    """Ingestion diagnostic: how many lines failed the schema (the number
+    the PERMISSIVE readers silently dropped)."""
+    schema = _schema_with_corrupt()
+    reader = spark.read.schema(schema).option(
+        "columnNameOfCorruptRecord", _CORRUPT
+    )
+    df = reader.json(path) if fmt == "json" else (
+        reader.option("header", True).option("multiLine", True)
+        .option("escape", '"').csv(path)
+    )
+    # Spark disallows queries that reference ONLY the internal corrupt
+    # column (SPARK-21610); cache forces the full-row parse it requires
+    df = df.cache()
+    try:
+        return df.where(F.col(_CORRUPT).isNotNull()).count()
+    finally:
+        df.unpersist()
