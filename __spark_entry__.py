@@ -275,6 +275,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frames": _mm_frames,
         # --- training-data assembly (splits / packing / sketch / hygiene) --
         "doc_splits": _doc_splits,
+        # G71: the composed curation pipeline (filters → dedups → splits)
+        "doc_curation": _doc_curation,
         # G31: deterministic weighted sampling without replacement (A-ES
         # priorities from the same md5 uniform as doc_splits)
         "doc_sample_weighted": _doc_sample_weighted,
@@ -1780,6 +1782,20 @@ def _doc_decontam(spark: SparkSession, sf: str) -> DataFrame:
         assigned.where(F.col("split") == "train"),
         assigned.where(F.col("split") == "test"),
     )
+
+
+def _doc_curation(spark: SparkSession, sf: str) -> DataFrame:
+    """G71 (operators/curation.py): the end-to-end curation pipeline as one
+    manifest — language gate (en) + Gopher repetition gate + quality floor
+    (0.70, ≈ the corpus p10), then exact dedup and keep-best near-dup
+    RE-ELECTED over the shrinking survivor set (intersecting the
+    standalone stage outputs would resurrect filtered canonicals), then
+    the deterministic split hash. The oracle replays the whole chain
+    stage-for-stage, so the triple-match certifies the composition, not
+    just the pieces."""
+    from email_address_parser_spark.operators.curation import curate_corpus
+
+    return curate_corpus(_docs(spark, sf))
 
 
 def _doc_packing(spark: SparkSession, sf: str) -> DataFrame:
@@ -3820,6 +3836,7 @@ def oracle_sql() -> dict[str, str]:
         "doc_packing": _oracles.doc_packing_oracle(budget=2048),
         "doc_redact": _redact_oracle(),
         "doc_decontam": _oracles.doc_decontam_oracle(),
+        "doc_curation": _oracles.doc_curation_oracle(),
         "dedup_keep_best": _oracles.dedup_keep_best_oracle(threshold=0.6),
         "dedup_keep_best_lsh": _oracles.dedup_keep_best_lsh_oracle(
             threshold=0.2, max_bucket=64

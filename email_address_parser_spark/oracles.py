@@ -881,3 +881,161 @@ pb_pairs AS (
     FROM pb_bounded a JOIN pb_bounded b USING (band_idx, band_sig)
     WHERE a.email < b.email
 )"""
+
+
+def doc_curation_oracle(
+    quality_cut: float = 0.70,
+    lang: str = "en",
+    threshold: float = 0.6,
+    weights=(("train", 0.8), ("val", 0.1), ("test", 0.1)),
+    salt: str = "split",
+) -> str:
+    """G71 replay: the full curation chain stage-for-stage — row-local
+    filters (quality/LID/repetition), exact dedup over SURVIVORS, keep-best
+    near-dup over the remainder, split hash over the final set. Each stage
+    reuses the exact SQL its standalone oracle certifies, re-rooted on the
+    shrinking survivor CTEs (intersecting standalone outputs would be
+    wrong: canonicals/exemplars must be re-elected within the survivor
+    set)."""
+    case = "CASE"
+    acc = 0.0
+    for name, w in weights[:-1]:
+        acc += w
+        case += f" WHEN u < {acc!r} THEN '{name}'"
+    case += f" ELSE '{weights[-1][0]}' END"
+    h = _HEX8.format(arg=f"'{salt}:' || CAST(doc_id AS VARCHAR)")
+    return rf"""
+WITH RECURSIVE cu_q AS (
+    SELECT doc_id,
+        round(0.4 * (n_alpha / CAST(greatest(n_chars, 1) AS DOUBLE))
+            + 0.3 * (1.0 - (n_chars - n_ws - n_alpha - n_digit) / CAST(greatest(n_chars, 1) AS DOUBLE))
+            + 0.3 * least(n_tokens / 100.0, 1.0), 6) AS quality_score
+    FROM (
+        SELECT doc_id,
+            length(text) AS n_chars,
+            len(regexp_extract_all(text, '\s')) AS n_ws,
+            len(regexp_extract_all(text, '[A-Za-z]')) AS n_alpha,
+            len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+            len(regexp_extract_all(text, '\S+')) AS n_tokens
+        FROM documents
+    )
+),
+cu_l AS (
+    SELECT doc_id,
+        CASE WHEN greatest(s_en, s_de, s_fr, s_es, s_zh) = 0 THEN 'und'
+             WHEN s_en = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'en'
+             WHEN s_de = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'de'
+             WHEN s_fr = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'fr'
+             WHEN s_es = greatest(s_en, s_de, s_fr, s_es, s_zh) THEN 'es'
+             ELSE 'zh' END AS lang_pred
+    FROM (
+        SELECT doc_id,
+            len(regexp_extract_all(lower(text), '\b(the|and|is|of|to|in|that)\b')) AS s_en,
+            len(regexp_extract_all(lower(text), '\b(der|die|und|das|ist|nicht|ein)\b')) AS s_de,
+            len(regexp_extract_all(lower(text), '\b(le|les|et|est|une|dans|pour)\b')) AS s_fr,
+            len(regexp_extract_all(lower(text), '\b(el|los|las|y|es|una|que)\b')) AS s_es,
+            len(regexp_extract_all(text, '[\x{{4e00}}-\x{{9fff}}]')) AS s_zh
+        FROM documents
+    )
+),
+cu_r AS (
+    SELECT doc_id, rep_keep FROM (
+        WITH toks AS (
+            SELECT doc_id,
+                string_split(regexp_replace(lower(trim(text)), '\s+', ' ', 'g'), ' ') AS t
+            FROM documents
+        ),
+        g AS (
+            SELECT doc_id, 1 AS n, unnest(t) AS g FROM toks
+            UNION ALL
+            SELECT doc_id, 2 AS n,
+                unnest(list_transform(range(1, greatest(len(t) - 1, 0) + 1),
+                    i -> array_to_string(t[i:i+1], ' '))) AS g
+            FROM toks
+            UNION ALL
+            SELECT doc_id, 5 AS n,
+                unnest(list_transform(range(1, greatest(len(t) - 4, 0) + 1),
+                    i -> array_to_string(t[i:i+4], ' '))) AS g
+            FROM toks
+        ),
+        gc AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY 1, 2, 3),
+        agg AS (
+            SELECT doc_id,
+                sum(CASE WHEN n = 1 THEN c END) AS occ1,
+                count(CASE WHEN n = 1 THEN 1 END) AS dis1,
+                sum(CASE WHEN n = 2 THEN c END) AS occ2,
+                count(CASE WHEN n = 2 THEN 1 END) AS dis2,
+                max(CASE WHEN n = 2 THEN c END) AS top2,
+                sum(CASE WHEN n = 5 THEN c END) AS occ5,
+                count(CASE WHEN n = 5 THEN 1 END) AS dis5
+            FROM gc GROUP BY 1
+        )
+        SELECT doc_id,
+            round(coalesce(top2, 0) / CAST(greatest(coalesce(occ2, 0), 1) AS DOUBLE), 6) <= 0.20
+                AND round(coalesce(occ5 - dis5, 0) / CAST(greatest(coalesce(occ5, 0), 1) AS DOUBLE), 6) <= 0.10
+                AND round(coalesce(dis1, 0) / CAST(greatest(coalesce(occ1, 0), 1) AS DOUBLE), 6) >= 0.20
+                AS rep_keep
+        FROM agg
+    )
+),
+cu_keep1 AS (
+    SELECT q.doc_id, q.quality_score
+    FROM cu_q q
+    JOIN cu_l l USING (doc_id)
+    JOIN cu_r r USING (doc_id)
+    WHERE l.lang_pred = '{lang}' AND r.rep_keep
+      AND q.quality_score >= {quality_cut}
+),
+cu_sv1 AS (
+    SELECT d.doc_id, d.source, d.text
+    FROM documents d JOIN cu_keep1 USING (doc_id)
+),
+cu_fp AS (
+    SELECT doc_id,
+        md5(regexp_replace(lower(trim(text)), '\s+', ' ', 'g')) AS fp
+    FROM cu_sv1
+),
+cu_canon AS (SELECT fp, min(doc_id) AS canonical FROM cu_fp GROUP BY fp),
+cu_sv2 AS (
+    SELECT s.doc_id, s.source, s.text
+    FROM cu_sv1 s
+    JOIN cu_fp f USING (doc_id)
+    JOIN cu_canon c ON c.fp = f.fp
+    WHERE s.doc_id = c.canonical
+),
+cu_g AS (
+    SELECT doc_id AS id, source AS block,
+        list_distinct(CASE WHEN len(w) >= 2
+            THEN list_transform(range(1, len(w)),
+                     i -> w[CAST(i AS INT)] || ' ' || w[CAST(i AS INT) + 1])
+            ELSE CAST([] AS VARCHAR[]) END) AS grams
+    FROM (SELECT doc_id, source,
+              regexp_extract_all(lower(text), '[A-Za-z0-9]+') AS w
+          FROM cu_sv2)
+),
+cu_p AS (
+    SELECT a.id AS id_a, b.id AS id_b
+    FROM cu_g a JOIN cu_g b ON a.block = b.block AND a.id < b.id
+    WHERE round(len(list_intersect(a.grams, b.grams))
+        / CAST(greatest(len(list_distinct(list_concat(a.grams, b.grams))), 1) AS DOUBLE),
+        6) >= {threshold}
+),
+cu_sym AS (SELECT id_a AS a, id_b AS b FROM cu_p UNION ALL SELECT id_b, id_a FROM cu_p),
+cu_walk(id, root) AS (
+    SELECT doc_id, doc_id FROM cu_sv2
+    UNION
+    SELECT s.b, w.root FROM cu_walk w JOIN cu_sym s ON s.a = w.id
+),
+cu_comp AS (SELECT id AS doc_id, min(root) AS cluster_id FROM cu_walk GROUP BY id),
+cu_rank AS (
+    SELECT c.doc_id,
+        row_number() OVER (PARTITION BY c.cluster_id
+            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+    FROM cu_comp c JOIN cu_q q USING (doc_id)
+),
+cu_sv3 AS (SELECT doc_id FROM cu_rank WHERE rn = 1),
+cu_split AS (
+    SELECT doc_id, {h} / 4294967296.0 AS u FROM cu_sv3
+)
+SELECT s.doc_id, {case.replace('u <', 's.u <')} AS split, k.quality_score
+FROM cu_split s JOIN cu_keep1 k USING (doc_id)"""
