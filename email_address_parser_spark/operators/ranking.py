@@ -175,6 +175,10 @@ def collocations_topk(
         )
         .withColumn("bigram", F.concat_ws(" ", "x", "y"))
     )
+    # intentional unpartitioned window: Catalyst rewrites rank<=k over it
+    # into WindowGroupLimit (per-partition top-k heaps before the single
+    # merge — pinned by test_plans.py), so despite the WindowExec warning
+    # only ~k rows per input partition ever reach the final task
     w = Window.orderBy(F.desc("pmi"), F.asc("bigram"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

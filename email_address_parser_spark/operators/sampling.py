@@ -211,7 +211,13 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.asc(key_col))
         .limit(n)
     )
-    rw = Window.orderBy(F.desc("priority"), F.asc(key_col))
+    # rank the n survivors: the frame is already limit(n)-bounded, so this
+    # window touches ≤ n rows. partitionBy(lit(0)) is semantically identical
+    # to an unpartitioned window here (every row shares the constant key)
+    # but gives WindowExec a partition spec, so the driver log stays free of
+    # the "No Partition Defined ... single partition" warning that reads as
+    # a scale smell on an intentionally tiny frame.
+    rw = Window.partitionBy(F.lit(0)).orderBy(F.desc("priority"), F.asc(key_col))
     return ranked.withColumn("rank", F.row_number().over(rw).cast("int"))
 
 

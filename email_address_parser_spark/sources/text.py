@@ -17,8 +17,13 @@ Design rules (Spark-first):
     diagnosable rows; `strict=True` fails the read on the first one
     (FAILFAST) for pipelines that prefer to die loudly.
   * normalization is pure Catalyst: trim/cast, turn empty strings into
-    NULL tool values, drop exact duplicate (conv_id, turn_idx) keeping
-    the first by file order — the dedup every re-delivered export needs.
+    NULL tool values, drop duplicate (conv_id, turn_idx) rows keeping the
+    earliest by ts with ties broken deterministically on the row VALUES
+    (role, text, tool) — the dedup every re-delivered export needs. File
+    order is NOT the tie-break: Spark provides no stable file-order column
+    across shuffles, so the contract is value-deterministic instead
+    (re-reading the same redelivered export always keeps the same row;
+    true value-identical duplicates collapse to that one row either way).
 """
 
 from __future__ import annotations
@@ -53,7 +58,15 @@ def _schema_with_corrupt() -> T.StructType:
 def _normalize(df: DataFrame) -> DataFrame:
     from pyspark.sql.window import Window
 
-    w = Window.partitionBy("conv_id", "turn_idx").orderBy(F.col("ts").asc_nulls_last())
+    # deterministic survivor: earliest ts, then value tie-breakers (module
+    # docstring) — ordering by ts alone kept an arbitrary row among equal
+    # or NULL timestamps, varying across runs
+    w = Window.partitionBy("conv_id", "turn_idx").orderBy(
+        F.col("ts").asc_nulls_last(),
+        F.col("role").asc_nulls_last(),
+        F.col("text").asc_nulls_last(),
+        F.col("tool").asc_nulls_last(),
+    )
     return (
         df.where(F.col("conv_id").isNotNull() & F.col("turn_idx").isNotNull())
         .withColumn(

@@ -21,7 +21,8 @@ from .sources.testdata import TABLES, derive_transcripts, register_views
 
 
 def register_er_views(
-    spark: SparkSession, sf_dir: str, with_clusters: bool = False
+    spark: SparkSession, sf_dir: str, with_clusters: bool = False,
+    clk_key: str = "",
 ) -> list:
     """Register the raw testdata tables plus the ER views:
 
@@ -31,13 +32,20 @@ def register_er_views(
       er_star_edges  — exact-canonical guaranteed-match star edges
       er_clk_masks   — G67 privacy surface: one row per record with the
                        packed 256-bit CLK filter (m0..m3 + popcount n) of
-                       the dotless local, keyed by an OPAQUE sha-256
-                       surrogate (`sid`) — the ONLY view a
-                       privacy-preserving matcher party needs; no column
-                       derives reversibly from the plaintext (the
-                       sid↔email mapping stays with the encoder, who can
-                       recompute it), and Dice is bit_count(m&m')
-                       arithmetic in SQL
+                       the dotless local, keyed by a sha-256 surrogate
+                       (`sid`) — the ONLY view a privacy-preserving
+                       matcher party needs; Dice is bit_count(m&m')
+                       arithmetic in SQL. THREAT MODEL (see
+                       operators/pprl.py): the surrogate and filters are
+                       non-invertible to the matcher only while
+                       ``clk_key`` stays secret with the encoder — both
+                       the sid derivation and the CLK hash salts fold the
+                       key in, so without it a dictionary attack over
+                       candidate emails recovers nothing. The empty
+                       default is the UNKEYED oracle-parity construction
+                       (sha2('sid:'||email), public 'clk{j}:' salts):
+                       fine for tests, NOT private against anyone who can
+                       read this code. Deployments must pass a key.
       er_clusters    — (optional, runs the full pipeline) email → cluster_id
     """
     register_views(spark, sf_dir, tables=TABLES)
@@ -52,10 +60,11 @@ def register_er_views(
 
     from .operators.pprl import clk_encode, clk_masks, with_dotless
 
+    sid_prefix = f"sid:{clk_key}:" if clk_key else "sid:"
     clk_masks(
-        clk_encode(with_dotless(uniq), text_col="dotless")
+        clk_encode(with_dotless(uniq), text_col="dotless", key=clk_key)
     ).select(
-        F.sha2(F.concat(F.lit("sid:"), F.col("email")), 256).alias("sid"),
+        F.sha2(F.concat(F.lit(sid_prefix), F.col("email")), 256).alias("sid"),
         "m0",
         "m1",
         "m2",

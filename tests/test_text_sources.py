@@ -66,3 +66,28 @@ def test_sources_feed_extraction_end_to_end(spark, jsonl_path):
     m = with_canonical(extract_mentions(read_transcripts_jsonl(spark, jsonl_path)))
     emails = {r["email"] for r in m.where("valid_lax").collect()}
     assert emails == {"alice@example.com", "bob@example.com"}
+
+
+def test_jsonl_dedup_tiebreak_is_value_deterministic(spark, tmp_path):
+    """Equal/NULL-ts duplicates of the same (conv_id, turn_idx) must keep
+    the same survivor on every read: the window orders by ts THEN the row
+    values (role, text, tool), so no arbitrary row-number tie remains."""
+    p = tmp_path / "dup.jsonl"
+    dups = [
+        {"conv_id": "c9", "turn_idx": 0, "role": "user",
+         "text": "zz write z@example.com", "tool": None, "ts": None},
+        {"conv_id": "c9", "turn_idx": 0, "role": "assistant",
+         "text": "aa write a@example.com", "tool": None, "ts": None},
+        {"conv_id": "c9", "turn_idx": 0, "role": "assistant",
+         "text": "aa write a@example.com", "tool": "mail", "ts": None},
+    ]
+    import json as _json
+    # write the duplicates in two different file orders; survivor must match
+    p.write_text("\n".join(_json.dumps(r) for r in dups))
+    first = read_transcripts_jsonl(spark, str(p)).collect()
+    p.write_text("\n".join(_json.dumps(r) for r in reversed(dups)))
+    second = read_transcripts_jsonl(spark, str(p)).collect()
+    assert len(first) == len(second) == 1
+    assert first[0].asDict() == second[0].asDict()
+    # earliest in the value order: role 'assistant' < 'user', tool NULL last
+    assert first[0]["role"] == "assistant" and first[0]["tool"] == "mail"
