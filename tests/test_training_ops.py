@@ -261,10 +261,14 @@ def test_lsh_bucket_deterministic(spark):
 # ---------------------------------------------------------------------------
 
 
-def test_multimodal_features_roundtrip(spark):
+def test_multimodal_features_real_png_decode(spark):
     import hashlib
 
+    import numpy as np
+
+    from email_address_parser_spark.functions.png import decode_png
     from email_address_parser_spark.operators.multimodal import (
+        _synth_pixels,
         attach_image_payload,
         extract_image_features,
         media_metadata,
@@ -274,12 +278,49 @@ def test_multimodal_features_roundtrip(spark):
         [Row(doc_id=7, text="hello multimodal"), Row(doc_id=8, text="payload two")]
     )
     media = attach_image_payload(docs)
+    # the stored payload is a REAL PNG: decoding it locally reproduces the
+    # deterministic pixel pattern exactly
+    payload7 = media.where("doc_id = 7").select("payload").collect()[0][0]
+    w, h, px = decode_png(bytes(payload7))
+    assert (px == _synth_pixels(7)).all()
     feats = {r.doc_id: r for r in extract_image_features(media).collect()}
-    assert feats[7].n_bytes == len("hello multimodal".encode())
-    assert feats[7].digest == hashlib.md5(b"hello multimodal").hexdigest()
     meta = {r.doc_id: r for r in media_metadata(media).collect()}
-    assert feats[7].thumb_w == max(meta[7].width // 8, 1)
+    for d in (7, 8):
+        f = feats[d]
+        expect = _synth_pixels(d).astype(int)
+        assert f.decode_ok
+        # IHDR dims == metadata struct dims
+        assert (f.width, f.height) == (meta[d].width, meta[d].height)
+        assert f.n_pixels == expect.size
+        flat = expect.reshape(-1)
+        assert f.checksum == int(((np.arange(flat.size) + 1) * flat).sum())
+        assert f.mean_lum == int(flat.sum() // flat.size)
+        assert f.thumb_checksum == int(expect[::8, ::8].sum())
+        assert f.digest == hashlib.md5(
+            expect.astype("uint8").tobytes()
+        ).hexdigest()
     assert meta[7].mime == "image/png"
+
+
+def test_multimodal_non_png_mime_is_honest_stub(spark):
+    from pyspark.sql import functions as SF
+
+    from email_address_parser_spark.operators.multimodal import (
+        attach_image_payload,
+        extract_image_features,
+    )
+
+    docs = spark.createDataFrame([Row(doc_id=3, text="jpegish")])
+    media = attach_image_payload(docs).withColumn(
+        "media",
+        SF.struct(
+            SF.col("media.width"),
+            SF.col("media.height"),
+            SF.lit("image/jpeg").alias("mime"),
+        ),
+    )
+    row = extract_image_features(media).collect()[0]
+    assert row.decode_ok is False and row.width is None and row.digest is None
 
 
 def test_media_metadata_prunes_payload(spark):
