@@ -83,8 +83,11 @@ def _gram_hash_str(s: str) -> int:
     return h
 
 
-def minhash_signatures_batch(strings: list) -> np.ndarray:
-    """(n, N_HASHES) int64 minhash signatures for a batch of strings.
+def minhash_signatures_batch(strings: list, n_hashes: int = N_HASHES) -> np.ndarray:
+    """(n, n_hashes) int64 minhash signatures for a batch of strings — the
+    first `n_hashes` of the house permutation family, so a reduced-width
+    caller (the email channel) computes a PREFIX of the full signature and
+    stays replayable with the same constants.
 
     Fully vectorized: the batch is concatenated once, viewed as a code-point
     array (utf-32-le frombuffer), the 3-gram polynomial hashes are one sliding
@@ -93,7 +96,7 @@ def minhash_signatures_batch(strings: list) -> np.ndarray:
     shorter than the shingle width hash as a single whole-string gram
     (per-row fallback; rare)."""
     n = len(strings)
-    sigs = np.empty((n, N_HASHES), dtype=np.int64)
+    sigs = np.empty((n, n_hashes), dtype=np.int64)
     if n == 0:
         return sigs
     lens = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
@@ -115,22 +118,24 @@ def minhash_signatures_batch(strings: list) -> np.ndarray:
         valid = np.cumsum(mark[:-1]) > 0
         gv = g[valid]
         seg = np.concatenate(([0], np.cumsum(counts)[:-1]))
-        for k in range(N_HASHES):
+        for k in range(n_hashes):
             vals = (MINHASH_A[k] * gv + MINHASH_B[k]) & M31
             sigs[long_rows, k] = np.minimum.reduceat(vals, seg)
     for i in np.nonzero(lens < _SHINGLE)[0]:
         h = _gram_hash_str(strings[i])
-        sigs[i, :] = (MINHASH_A * h + MINHASH_B) & M31
+        sigs[i, :] = (MINHASH_A[:n_hashes] * h + MINHASH_B[:n_hashes]) & M31
     return sigs
 
 
 def minhash_band_sigs(sigs: np.ndarray) -> np.ndarray:
-    """(n, N_BANDS) band keys: polynomial fold of each band's ROWS_PER_BAND
+    """(n, n_bands) band keys: polynomial fold of each band's ROWS_PER_BAND
     consecutive signature values, masked to 31 bits (exact in int64 and in
-    DuckDB)."""
+    DuckDB). The band count follows the signature width, so reduced-width
+    signatures (the email channel) fold into proportionally fewer bands."""
     n = sigs.shape[0]
-    out = np.empty((n, N_BANDS), dtype=np.int64)
-    for b in range(N_BANDS):
+    n_bands = sigs.shape[1] // ROWS_PER_BAND
+    out = np.empty((n, n_bands), dtype=np.int64)
+    for b in range(n_bands):
         acc = np.zeros(n, dtype=np.int64)
         for r in range(ROWS_PER_BAND):
             acc = (acc * _BAND_MULT + sigs[:, b * ROWS_PER_BAND + r]) & M31
@@ -166,6 +171,32 @@ def minhash_bands_udf(locals_: pd.Series) -> pd.Series:
     strings = [s if isinstance(s, str) else "" for s in locals_]
     bands = minhash_band_sigs(minhash_signatures_batch(strings))
     return pd.Series(list(bands))
+
+
+# Channel 4 (cross-domain full-email LSH) runs HALF-width: the residual
+# channel for simultaneous local+domain typos needs far less collision
+# probability than the primary same-domain typo channel — and its per-band
+# costs (signature hashing on the dim, explode rows, cap-window size,
+# self-join fan-in) all scale linearly with the band count. Measured at
+# sf0.01: the channel's responsibility set (true pairs where BOTH the
+# domain and the dotless local differ) is covered at EVERY band count
+# (/tmp probe, round 5 — the corpus' cross-domain true pairs all share the
+# dotless local and ride channel 3), so PC = 1.0 is band-count-invariant
+# here; the 4-band floor keeps the residual recall surface real
+# (P[collide] = 1-(1-s^4)^4 ≈ 66% at gram-similarity 0.7) at half the
+# cost. The oracle replays the same prefix constants (EMAIL_N_BANDS is
+# threaded into oracles.email_lsh_pairs_cte).
+EMAIL_N_BANDS = 4
+
+
+@pandas_udf(ArrayType(LongType()))
+def email_minhash_bands_udf(emails_: pd.Series) -> pd.Series:
+    """Half-width banding for the email channel: the FIRST
+    EMAIL_N_BANDS*ROWS_PER_BAND permutations of the house family (a prefix,
+    so the DuckDB replay uses the same constants)."""
+    strings = [s if isinstance(s, str) else "" for s in emails_]
+    sigs = minhash_signatures_batch(strings, n_hashes=EMAIL_N_BANDS * ROWS_PER_BAND)
+    return pd.Series(list(minhash_band_sigs(sigs)))
 
 
 # --- exact-domain salted blocking ----------------------------------------------
@@ -293,7 +324,11 @@ _PAIR_COLS = [
 
 
 def _cap_buckets(
-    df: DataFrame, keys: list, cap: int, via_window: bool
+    df: DataFrame,
+    keys: list,
+    cap: int,
+    via_window: bool,
+    prune_uniform: list = (),
 ) -> DataFrame:
     """Drop every row whose bucket (group on `keys`) holds more than `cap`
     rows — the over-populous-key purge shared by the LSH and exact-local
@@ -308,19 +343,39 @@ def _cap_buckets(
         partitioning, so the SMJ reuses the exchange instead of re-shuffling
         both sides.
 
-    The window shape is only safe when a single bucket fits one task (true
-    here by construction — these are the CAPPED channels; the cap is the
-    bound), which is why with_salted_domain_block keeps the agg shape for the
-    UNCAPPED hot-domain census."""
+    prune_uniform (round 5): additionally drop every bucket in which ANY of
+    the named columns is constant (min == max over the bucket). Useful when
+    the downstream self-join carries a `!=` predicate on that column: a
+    uniform bucket cannot produce a single surviving pair, yet it is exactly
+    where join fan-out concentrates (identity-variant clusters share all
+    band signatures). Output-set-neutral, so pair oracles are untouched,
+    and the min/max aggregates ride the SAME window exchange — no new
+    shuffle. SHIPPED OFF everywhere: the sf0.1 interleaved A/B on the full
+    pairs chain read pruned 11.0/14.2 s vs unpruned 10.3/11.3 s — at this
+    corpus the 80% raw-join-row reduction (915,904 → 181,717 surviving,
+    measured) is cheaper to discard post-join than to pre-filter, because
+    the extra window passes touch every exploded row while the capped
+    join's fan-out is already bounded at cap²/2 per bucket. Revisit for
+    corpora with cap-sized uniform buckets on most keys."""
+    prune_uniform = list(prune_uniform)
     if not via_window:
-        sizes = df.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bn"))
-        return df.join(sizes.where(F.col("_bn") <= cap), keys).drop("_bn")
+        aggs = [F.count(F.lit(1)).alias("_bn")] + [
+            (F.min(c) == F.max(c)).alias(f"_u_{c}") for c in prune_uniform
+        ]
+        sizes = df.groupBy(*keys).agg(*aggs)
+        keep = F.col("_bn") <= cap
+        for c in prune_uniform:
+            keep = keep & ~F.col(f"_u_{c}")
+        return df.join(
+            sizes.where(keep).select(*keys), keys
+        )
     w = Window.partitionBy(*keys)
-    return (
-        df.withColumn("_bn", F.count(F.lit(1)).over(w))
-        .where(F.col("_bn") <= cap)
-        .drop("_bn")
-    )
+    out = df.withColumn("_bn", F.count(F.lit(1)).over(w))
+    keep = F.col("_bn") <= cap
+    for c in prune_uniform:
+        out = out.withColumn(f"_u_{c}", F.min(c).over(w) == F.max(c).over(w))
+        keep = keep & ~F.col(f"_u_{c}")
+    return out.where(keep).drop("_bn", *[f"_u_{c}" for c in prune_uniform])
 
 
 def candidate_pairs(
@@ -404,10 +459,11 @@ def candidate_pairs(
             # references them three times (bucket sizes + both join sides),
             # and unlike the short-local banding of channel 2 the assembled
             # address is ~2× the bytes — re-evaluating the UDF per reference
-            # measurably dominated the channel (sf0.01 A/B)
+            # measurably dominated the channel (sf0.01 A/B). Half-width
+            # banding (EMAIL_N_BANDS): see email_minhash_bands_udf.
             blocked = blocked.withColumn(
                 "email_bands",
-                minhash_bands_udf(
+                email_minhash_bands_udf(
                     F.concat(F.col("local_canon"), F.lit("@"), F.col("domain_canon"))
                 ),
             )

@@ -69,6 +69,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .blocking import (
+    email_minhash_bands_udf,
     minhash_bands_udf,
     uniq_valid_mentions,
     with_salted_domain_block,
@@ -128,12 +129,13 @@ def with_minhash_bands(df: DataFrame, local_col: str = "local_canon") -> DataFra
 
 
 def with_email_bands(df: DataFrame) -> DataFrame:
-    """Add `email_bands: array<long>` — the LSH band keys of the assembled
-    canonical address (cross-domain channel 4). Pure function of the email,
-    so it rides the dim state exactly like `band_sigs`."""
+    """Add `email_bands: array<long>` — the half-width LSH band keys of the
+    assembled canonical address (cross-domain channel 4, EMAIL_N_BANDS).
+    Pure function of the email, so it rides the dim state exactly like
+    `band_sigs`."""
     return df.withColumn(
         "email_bands",
-        minhash_bands_udf(
+        email_minhash_bands_udf(
             F.concat(F.col("local_canon"), F.lit("@"), F.col("domain_canon"))
         ),
     )
@@ -275,7 +277,7 @@ def incremental_candidate_pairs(
             eband_col = (
                 F.col("email_bands")
                 if "email_bands" in blocked.columns
-                else minhash_bands_udf(
+                else email_minhash_bands_udf(
                     F.concat(
                         F.col("local_canon"), F.lit("@"), F.col("domain_canon")
                     )

@@ -101,17 +101,26 @@ verified AS (
 )"""
 
 
-def email_lsh_pairs_cte(max_bucket: int = 50) -> str:
+def email_lsh_pairs_cte(max_bucket: int = 50, n_bands: int = None) -> str:
     """CTE chain (no WITH keyword) replaying the cross-domain full-email LSH
     channel (blocking.candidate_pairs use_email_lsh) over a preceding `uniq`
     CTE with columns (email, domain_canon, dotless, canon_email): the same
     fixed-seed 3-gram minhash → affine permutations → banded fold → bucket cap
     → cross-domain cross-local self-join, ending in
-    xd_lsh(email_a, email_b). Exact int64 arithmetic on both engines."""
+    xd_lsh(email_a, email_b). Exact int64 arithmetic on both engines.
+
+    n_bands defaults to blocking.EMAIL_N_BANDS — the channel's half-width
+    banding (a PREFIX of the permutation family, so the same constants
+    replay it)."""
+    from email_address_parser_spark.operators.blocking import EMAIL_N_BANDS
+
     p = minhash_oracle_sql_parts()
-    ab_pairs = ", ".join(f"[{a}, {b}]" for a, b in zip(p["a"], p["b"]))
+    rpb = p["rows_per_band"]
+    nb = EMAIL_N_BANDS if n_bands is None else n_bands
+    ab_pairs = ", ".join(
+        f"[{a}, {b}]" for a, b in zip(p["a"][: nb * rpb], p["b"][: nb * rpb])
+    )
     P, M, C = p["p_gram"], p["m31"], p["band_mult"]
-    rpb, nb = p["rows_per_band"], p["n_bands"]
     return rf"""egh AS (
     SELECT email,
         list_transform(range(1, length(canon_email) - 1),
@@ -1039,3 +1048,126 @@ cu_split AS (
 )
 SELECT s.doc_id, {case.replace('u <', 's.u <')} AS split, k.quality_score
 FROM cu_split s JOIN cu_keep1 k USING (doc_id)"""
+
+
+# ---------------------------------------------------------------------------
+# G46 — trained logistic match scorer, SQL replay (round-5 verdict item 6)
+# ---------------------------------------------------------------------------
+# Two FROZEN Newton/IRLS iterations from beta = 0 are closed-form: each is
+# one aggregation (X^T W X, X^T (y - p)) plus a d×d linear solve. The solve
+# is replayed in SQL by Cramer's rule with machine-generated determinant
+# expansions (d = 5: 4 features + intercept → 120-term determinants), so the
+# full training computation — not just the scoring — is oracle-checked.
+# Numerics: features are quantized to 6 decimals on BOTH engines before any
+# aggregation, so the only cross-engine difference is float addition order
+# (~1e-15 relative); weights are rounded to 6 decimals before the decision
+# pass and the output metrics derive from integer counts.
+
+
+def _det_sql(elem, n: int) -> str:
+    """Leibniz determinant expansion as a SQL arithmetic expression.
+    `elem(i, j)` returns the SQL text of matrix element (i, j)."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(n)):
+        inv = sum(
+            1 for i in range(n) for j in range(i + 1, n) if perm[i] > perm[j]
+        )
+        sign = "-" if inv % 2 else "+"
+        terms.append(sign + " " + " * ".join(elem(i, perm[i]) for i in range(n)))
+    return "0 " + " ".join(terms)
+
+
+def _newton_delta_sql(h, g, n: int, ridge: float) -> list:
+    """Cramer's-rule SQL for delta = (H + ridge*I)^-1 g: one expression per
+    component. `h(i, j)` / `g(i)` return SQL refs to the aggregated sums."""
+
+    def hd(i, j):
+        return f"({h(i, j)} + {ridge!r})" if i == j else h(i, j)
+
+    det = _det_sql(hd, n)
+    out = []
+    for k in range(n):
+        num = _det_sql(lambda i, j: g(i) if j == k else hd(i, j), n)
+        out.append(f"(({num}) / ({det}))")
+    return out
+
+
+def trained_match_f1_oracle(ridge: float = 1e-6) -> str:
+    """SQL suffix for _ORACLE_PAIRS (uses its `features` CTE): replays
+    classifier.logistic_train(iters=2) + logistic_score + the 0.5-threshold
+    decision, emitting the trained weights and the er_match_f1-shaped
+    metrics row."""
+    n = 5  # x0..x3 features + intercept
+
+    def X(i):
+        return f"x{i}" if i < 4 else "1.0"
+
+    def sums(tag: str, w_expr: str, r_expr: str) -> str:
+        cols = []
+        for i in range(n):
+            for j in range(i, n):
+                cols.append(
+                    f"sum({w_expr} * {X(i)} * {X(j)}) AS {tag}h_{i}_{j}"
+                )
+        for i in range(n):
+            cols.append(f"sum({r_expr} * {X(i)}) AS {tag}g_{i}")
+        return ", ".join(cols)
+
+    def href(tag):
+        return lambda i, j: f"{tag}h_{min(i, j)}_{max(i, j)}"
+
+    def gref(tag):
+        return lambda i: f"{tag}g_{i}"
+
+    d1 = _newton_delta_sql(href("a1."), gref("a1."), n, ridge)
+    d2 = _newton_delta_sql(href("a2."), gref("a2."), n, ridge)
+    b1_cols = ", ".join(f"{d1[k]} AS b1_{k}" for k in range(n))
+    d2_cols = ", ".join(f"{d2[k]} AS d2_{k}" for k in range(n))
+    z1 = " + ".join(f"b1_{k} * {X(k)}" for k in range(n))
+    wnames = ["w_jw", "w_lev", "w_dom", "w_dotless", "w_intercept"]
+    w_cols = ", ".join(
+        f"round(b1_{k} + d2_{k}, 6) AS {wnames[k]}" for k in range(n)
+    )
+    zw = " + ".join(f"{wnames[k]} * {X(k)}" for k in range(n))
+    return f""",
+tr AS (
+    SELECT round(jw_local, 6) AS x0,
+           round(1.0 - lev_local / _mll, 6) AS x1,
+           round(1.0 - dom_edit / _mdl, 6) AS x2,
+           dotless_eq AS x3,
+           CASE WHEN mk_a = mk_b THEN 1.0 ELSE 0.0 END AS y
+    FROM features
+),
+a1 AS (SELECT {sums('', '0.25', '(y - 0.5)')} FROM tr),
+b1 AS (SELECT {b1_cols} FROM a1),
+p2 AS (
+    SELECT tr.*, 1.0 / (1.0 + exp(-({z1}))) AS p FROM tr, b1
+),
+a2 AS (SELECT {sums('', 'p * (1.0 - p)', '(y - p)')} FROM p2),
+d2 AS (SELECT {d2_cols} FROM a2),
+w AS (SELECT {w_cols} FROM b1, d2),
+ev AS (
+    SELECT y,
+        CASE WHEN 1.0 / (1.0 + exp(-({zw}))) >= 0.5 THEN 1.0 ELSE 0.0 END
+            AS pred
+    FROM tr, w
+),
+m AS (
+    SELECT CAST(sum(pred * y) AS BIGINT) AS tp,
+           CAST(sum(pred * (1.0 - y)) AS BIGINT) AS fp,
+           CAST(sum((1.0 - pred) * y) AS BIGINT) AS fn
+    FROM ev
+),
+pr AS (
+    SELECT tp, fp, fn,
+           tp / CAST(greatest(tp + fp, 1) AS DOUBLE) AS _p,
+           tp / CAST(greatest(tp + fn, 1) AS DOUBLE) AS _r
+    FROM m
+)
+SELECT w_jw, w_lev, w_dom, w_dotless, w_intercept, tp, fp, fn,
+       round(_p, 6) AS precision, round(_r, 6) AS recall,
+       round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
+             ELSE 0.0 END, 6) AS f1
+FROM w, pr"""
