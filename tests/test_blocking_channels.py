@@ -130,3 +130,46 @@ def test_salted_pair_completeness_is_total(spark):
     cand = candidate_pairs(m, hot_threshold=3, target_block_size=1, materialize=False)
     covered = _pairset(cand)
     assert true_pairs <= covered, sorted(true_pairs - covered)[:5]
+
+
+def test_cap_buckets_prune_uniform_is_output_neutral_for_neq_joins(spark):
+    """prune_uniform drops buckets that are constant in a column — exactly
+    the buckets a downstream `!=` self-join predicate would fully discard —
+    so pair output with and without pruning must be identical, in both plan
+    shapes. (Shipped OFF by default per the measured A/B in the docstring;
+    this pins the switch's safety contract.)"""
+    from email_address_parser_spark.operators.blocking import _cap_buckets
+
+    rows = [
+        # bucket k1: uniform in dom -> prunable for a dom-!= join
+        ("k1", "a1", "x.com"), ("k1", "a2", "x.com"), ("k1", "a3", "x.com"),
+        # bucket k2: mixed
+        ("k2", "b1", "x.com"), ("k2", "b2", "y.com"), ("k2", "b3", "x.com"),
+        # bucket k3: over cap (cap=3)
+        ("k3", "c1", "x.com"), ("k3", "c2", "y.com"),
+        ("k3", "c3", "z.com"), ("k3", "c4", "w.com"),
+    ]
+    df = spark.createDataFrame(rows, ["key", "email", "dom"])
+
+    def pairs(bounded):
+        a, b = bounded.alias("a"), bounded.alias("b")
+        return {
+            (r["ea"], r["eb"])
+            for r in a.join(b, "key")
+            .where(
+                (F.col("a.email") < F.col("b.email"))
+                & (F.col("a.dom") != F.col("b.dom"))
+            )
+            .select(F.col("a.email").alias("ea"), F.col("b.email").alias("eb"))
+            .collect()
+        }
+
+    for via_window in (True, False):
+        plain = pairs(_cap_buckets(df, ["key"], 3, via_window))
+        pruned_df = _cap_buckets(
+            df, ["key"], 3, via_window, prune_uniform=["dom"]
+        )
+        pruned = pairs(pruned_df)
+        assert plain == pruned == {("b1", "b2"), ("b2", "b3")}
+        # and the pruning actually removed the uniform bucket's rows
+        assert {r["key"] for r in pruned_df.select("key").distinct().collect()} == {"k2"}
