@@ -312,6 +312,9 @@ def _queries_impl() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "er_fs_match_f1": _er_fs_match_f1,
         # G46: frozen-2-iteration IRLS trained scorer, weights + held-in F1
         "er_trained_match_f1": _er_trained_match_f1,
+        # G72: phonetic (Soundex-family) blocking, the fourth classic family
+        "er_phonetic_pairs": _er_phonetic_pairs,
+        "er_phonetic_blocks": _er_phonetic_blocks,
         # G57: sorted-neighborhood blocking — distributed exact global rank
         # + explode/equi-join window pairs (the third classic blocking
         # family next to key blocking and LSH)
@@ -703,6 +706,44 @@ def _er_trained_match_f1(spark: SparkSession, sf: str) -> DataFrame:
                 6,
             ).alias("f1"),
         )
+    )
+
+
+def _er_phonetic_pairs(spark: SparkSession, sf: str) -> DataFrame:
+    """G72: phonetic (Soundex-family) blocking — the fourth classic
+    blocking strategy (operators/phonetic.py): house soundex key over the
+    dotless-insensitive local, capped same-key self-join, cross-domain by
+    design. The oracle replays the IDENTICAL regexp chain (generated from
+    the same _STEPS table) so key parity is by construction.
+
+    On THIS corpus the result is 0 rows, and that is the operator working
+    correctly: every synthetic local is phonetically degenerate (all
+    `Customer#...` → one C235 block of all 6,240 distinct emails —
+    er_phonetic_blocks shows it), and the over-cap purge rightly refuses
+    to emit a 19M-pair junk block. Realistic-name behavior (jon/john,
+    smith/smyth collide; caps bound blocks) is pinned by
+    tests/test_phonetic.py including a corpus-scale Spark↔DuckDB key
+    parity check."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.phonetic import phonetic_pairs
+
+    return phonetic_pairs(uniq_valid_mentions(_mentions(spark, sf)))
+
+
+def _er_phonetic_blocks(spark: SparkSession, sf: str) -> DataFrame:
+    """G72 companion audit: the phonetic block census (pkey, n_emails) the
+    blocking-quality reviewer reads BEFORE enabling the channel — here it
+    shows the single corpus-wide degenerate block that explains
+    er_phonetic_pairs' empty (capped) output."""
+    from email_address_parser_spark.operators.blocking import uniq_valid_mentions
+    from email_address_parser_spark.operators.phonetic import phonetic_key
+
+    uniq = uniq_valid_mentions(_mentions(spark, sf))
+    return (
+        uniq.select(phonetic_key(F.col("local_canon")).alias("pkey"))
+        .where(F.col("pkey") != "")
+        .groupBy("pkey")
+        .agg(F.count(F.lit(1)).alias("n_emails"))
     )
 
 
@@ -2488,6 +2529,45 @@ def _redact_oracle() -> str:
     return _oracles.doc_redact_oracle(EMAIL_TOKEN_RE, IPV4_RE, PHONE_RE)
 
 
+def _phonetic_pairs_oracle() -> str:
+    from email_address_parser_spark.operators.phonetic import phonetic_key_sql
+
+    return (
+        MENTIONS_EXPECTED_CTE
+        + f""",
+        pu AS (
+            SELECT DISTINCT email, local_canon
+            FROM mentions_expected WHERE valid_lax
+        ),
+        pk AS (
+            SELECT email, {phonetic_key_sql('local_canon')} AS pkey FROM pu
+        ),
+        pkx AS (SELECT * FROM pk WHERE pkey <> ''),
+        psz AS (SELECT pkey, count(*) AS n FROM pkx GROUP BY pkey),
+        pbd AS (SELECT pkx.* FROM pkx JOIN psz USING (pkey) WHERE n <= 50)
+        SELECT a.email AS email_a, b.email AS email_b, a.pkey AS pkey
+        FROM pbd a JOIN pbd b ON a.pkey = b.pkey AND a.email < b.email"""
+    )
+
+
+def _phonetic_blocks_oracle() -> str:
+    from email_address_parser_spark.operators.phonetic import phonetic_key_sql
+
+    return (
+        MENTIONS_EXPECTED_CTE
+        + f""",
+        pu AS (
+            SELECT DISTINCT email, local_canon
+            FROM mentions_expected WHERE valid_lax
+        ),
+        pk AS (
+            SELECT email, {phonetic_key_sql('local_canon')} AS pkey FROM pu
+        )
+        SELECT pkey, CAST(count(*) AS BIGINT) AS n_emails
+        FROM pk WHERE pkey <> '' GROUP BY pkey"""
+    )
+
+
 def _oracle_sql_impl() -> dict[str, str]:
     return {
         "er_mentions": MENTIONS_EXPECTED_CTE
@@ -3282,6 +3362,10 @@ def _oracle_sql_impl() -> dict[str, str]:
         # 5×5 Newton solves via generated Cramer determinants
         "er_trained_match_f1": _ORACLE_PAIRS
         + _oracles.trained_match_f1_oracle(),
+        # G72 phonetic-blocking replay: the key SQL is generated from the
+        # SAME step table as the Catalyst expression (phonetic.py)
+        "er_phonetic_pairs": _phonetic_pairs_oracle(),
+        "er_phonetic_blocks": _phonetic_blocks_oracle(),
         # G55 domain-alias replay: domain dim + distinct 4-gram block join
         # (purged at 10000), strict population orientation, levenshtein<=2,
         # per-alias winner by (n_canon DESC, canonical ASC)
@@ -4004,6 +4088,8 @@ def _oracle_sql_impl() -> dict[str, str]:
 _DRIVER_CHECK_ORDER = [
     # -- new in round 5 (never checked anywhere) ---------------------------
     "er_trained_match_f1",
+    "er_phonetic_pairs",
+    "er_phonetic_blocks",
     # -- never driver-checked through round 4 (judge-verified only) --------
     "events_quantiles", "events_pivot", "events_props_stats", "events_funnel",
     "events_retention", "doc_repetition", "doc_tfidf_topk", "doc_collocations",
