@@ -680,11 +680,18 @@ def _er_trained_match_f1(spark: SparkSession, sf: str) -> DataFrame:
     ev = logistic_score(df, beta, features=feats)
     pred = F.col("prob") >= F.lit(0.5)
     truth = F.col("label") == F.lit(1.0)
-    agg = ev.agg(
+    # the decision pass is the frame's LAST consumer: evaluate the 1-row
+    # aggregate eagerly so the cache can be released before returning
+    # (otherwise this would be the one query that leaks a persisted pair
+    # frame into the rest of the driver session), and hand back the tiny
+    # localized row as the result plan
+    agg_row = ev.agg(
         F.sum((pred & truth).cast("long")).alias("tp"),
         F.sum((pred & ~truth).cast("long")).alias("fp"),
         F.sum((~pred & truth).cast("long")).alias("fn"),
-    )
+    ).collect()[0]
+    df.unpersist()
+    agg = spark.createDataFrame([agg_row], "tp long, fp long, fn long")
     p_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
     r_raw = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
     wnames = ["w_jw", "w_lev", "w_dom", "w_dotless", "w_intercept"]
@@ -2529,7 +2536,9 @@ def _redact_oracle() -> str:
     return _oracles.doc_redact_oracle(EMAIL_TOKEN_RE, IPV4_RE, PHONE_RE)
 
 
-def _phonetic_pairs_oracle() -> str:
+def _phonetic_key_cte() -> str:
+    """Shared prefix of the two G72 oracles: distinct locals → house
+    phonetic key (generated from phonetic._STEPS — one source of truth)."""
     from email_address_parser_spark.operators.phonetic import phonetic_key_sql
 
     return (
@@ -2541,28 +2550,30 @@ def _phonetic_pairs_oracle() -> str:
         ),
         pk AS (
             SELECT email, {phonetic_key_sql('local_canon')} AS pkey FROM pu
-        ),
+        )"""
+    )
+
+
+def _phonetic_pairs_oracle(max_block: int = 50) -> str:
+    # max_block must track phonetic_pairs' default (the Spark query uses it)
+    return (
+        _phonetic_key_cte()
+        + f""",
         pkx AS (SELECT * FROM pk WHERE pkey <> ''),
         psz AS (SELECT pkey, count(*) AS n FROM pkx GROUP BY pkey),
-        pbd AS (SELECT pkx.* FROM pkx JOIN psz USING (pkey) WHERE n <= 50)
+        pbd AS (
+            SELECT pkx.* FROM pkx JOIN psz USING (pkey)
+            WHERE n <= {max_block}
+        )
         SELECT a.email AS email_a, b.email AS email_b, a.pkey AS pkey
         FROM pbd a JOIN pbd b ON a.pkey = b.pkey AND a.email < b.email"""
     )
 
 
 def _phonetic_blocks_oracle() -> str:
-    from email_address_parser_spark.operators.phonetic import phonetic_key_sql
-
     return (
-        MENTIONS_EXPECTED_CTE
-        + f""",
-        pu AS (
-            SELECT DISTINCT email, local_canon
-            FROM mentions_expected WHERE valid_lax
-        ),
-        pk AS (
-            SELECT email, {phonetic_key_sql('local_canon')} AS pkey FROM pu
-        )
+        _phonetic_key_cte()
+        + """
         SELECT pkey, CAST(count(*) AS BIGINT) AS n_emails
         FROM pk WHERE pkey <> '' GROUP BY pkey"""
     )
@@ -4125,7 +4136,11 @@ _DRIVER_CHECK_ORDER = [
 
 
 def _rotate(d):
-    out = {k: d[k] for k in _DRIVER_CHECK_ORDER if k in d}
+    # a stale name here (renamed/deleted query) would silently defeat the
+    # least-recently-checked policy — fail loudly instead
+    missing = [k for k in _DRIVER_CHECK_ORDER if k not in d]
+    assert not missing, f"_DRIVER_CHECK_ORDER names unknown queries: {missing}"
+    out = {k: d[k] for k in _DRIVER_CHECK_ORDER}
     out.update({k: v for k, v in d.items() if k not in out})
     return out
 

@@ -117,11 +117,16 @@ def decode_png(data: bytes, verify_crc: bool = True):
         if len(chunk) != ln:
             raise PngError(f"truncated {typ!r} chunk")
         if verify_crc:
-            (crc,) = struct.unpack(">I", data[pos + 8 + ln : pos + 12 + ln])
+            crc_bytes = data[pos + 8 + ln : pos + 12 + ln]
+            if len(crc_bytes) != 4:
+                raise PngError(f"truncated CRC field after {typ!r}")
+            (crc,) = struct.unpack(">I", crc_bytes)
             if crc != zlib.crc32(typ + chunk) & 0xFFFFFFFF:
                 raise PngError(f"CRC mismatch in {typ!r}")
         pos += 12 + ln
         if typ == b"IHDR":
+            if ln != 13:
+                raise PngError(f"IHDR must be 13 bytes, got {ln}")
             ihdr = struct.unpack(">IIBBBBB", chunk)
         elif typ == b"IDAT":
             idat += chunk
@@ -130,6 +135,8 @@ def decode_png(data: bytes, verify_crc: bool = True):
     if ihdr is None:
         raise PngError("missing IHDR")
     w, h, depth, color_type, comp, filt, interlace = ihdr
+    if w == 0 or h == 0:
+        raise PngError("zero-dimension image")
     if depth != 8 or comp != 0 or filt != 0 or interlace != 0:
         raise PngError(
             f"unsupported PNG variant (depth={depth}, interlace={interlace})"
@@ -138,8 +145,17 @@ def decode_png(data: bytes, verify_crc: bool = True):
         raise PngError(f"unsupported color type {color_type} (palette?)")
     ch = _CHANNELS[color_type]
     stride = w * ch
-    raw = zlib.decompress(bytes(idat))
-    if len(raw) != h * (stride + 1):
+    expected = h * (stride + 1)
+    # bounded inflate: cap the output at the IHDR-implied size so a
+    # decompression-bomb payload (tiny IDAT, huge deflate stream) cannot
+    # materialize an unbounded buffer inside a mapInPandas task — we ask
+    # for at most expected+1 bytes; one extra byte appearing is itself
+    # proof the stream overruns the dimensions
+    try:
+        raw = zlib.decompressobj().decompress(bytes(idat), expected + 1)
+    except zlib.error as exc:
+        raise PngError(f"corrupt IDAT deflate stream: {exc}") from exc
+    if len(raw) != expected:
         raise PngError("IDAT length does not match dimensions")
     out = np.empty((h, stride), dtype=np.uint8)
     prev = np.zeros(stride, dtype=np.int16)

@@ -69,6 +69,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .blocking import (
+    EMAIL_N_BANDS,
     email_minhash_bands_udf,
     minhash_bands_udf,
     uniq_valid_mentions,
@@ -290,7 +291,14 @@ def incremental_candidate_pairs(
                 "_dl",
                 "_is_new",
                 F.posexplode(eband_col).alias("band_idx", "band_sig"),
-            )
+            # stale-state reconciliation: a dim state written before the
+            # EMAIL_N_BANDS=4 cut carries 8-element arrays, but the reduced
+            # banding is a PREFIX of the old one (same permutations, same
+            # fold), so keeping band_idx < EMAIL_N_BANDS makes old state
+            # byte-identical to freshly-encoded rows — no version flag, no
+            # re-encode, and mixed old/new dims can never pair on a band
+            # the 4-band contract (and the DuckDB replay) doesn't have
+            ).where(F.col("band_idx") < F.lit(EMAIL_N_BANDS))
             ebucket_sizes = with_ebands.groupBy("band_idx", "band_sig").agg(
                 F.count(F.lit(1)).alias("_bn")
             )

@@ -47,11 +47,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
-from email_address_parser_spark.functions.png import (
-    PngError,
-    decode_png,
-    encode_png,
-)
+from email_address_parser_spark.functions.png import decode_png, encode_png
 
 FEATURE_SCHEMA = StructType(
     [
@@ -127,7 +123,9 @@ def _image_features(doc_id: int, payload: bytes, mime: str) -> tuple:
         return (doc_id, False, None, None, None, None, None, None, None, None, None)
     try:
         w, h, px = decode_png(payload)
-    except PngError:
+    except Exception:  # noqa: BLE001 — any malformed lake payload, not just
+        # the codec's own PngError: a decode failure must become the
+        # documented decode_ok=false row, never a task-killing exception
         return (doc_id, False, None, None, None, None, None, None, None, None, None)
     flat = px.reshape(-1).astype(np.int64)
     checksum = int(((np.arange(flat.size) + 1) * flat).sum())

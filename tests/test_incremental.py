@@ -364,3 +364,40 @@ def test_fold_batch_refold_is_noop(spark, corpus_df):
     # between these two lineage-sharing plans trips Spark 4.1's
     # PushDownLeftSemiAntiJoin optimizer validation bug)
     assert _as_set(again["delta"]) <= first_clusters
+
+
+def test_stale_fullwidth_email_bands_state_reconciles_to_prefix(spark):
+    """Round-5 review: a dim state persisted BEFORE the EMAIL_N_BANDS=4 cut
+    carries 8-element email_bands arrays. Because the reduced banding is a
+    PREFIX of the old family, the channel filters band_idx < EMAIL_N_BANDS
+    after the explode — so stale state must produce EXACTLY the pairs a
+    freshly-banded dim produces, and never a pair on a band the 4-band
+    contract lacks."""
+    from pyspark.sql import functions as F
+
+    from email_address_parser_spark.operators.blocking import minhash_bands_udf
+    from email_address_parser_spark.operators.incremental import (
+        incremental_candidate_pairs,
+        with_email_bands,
+    )
+
+    rows = [
+        ("jon@old1.com", "jon", "old1.com", False),
+        ("john@old2.com", "john", "old2.com", False),
+        ("jhn@new.com", "jhn", "new.com", True),
+    ]
+    dim = spark.createDataFrame(
+        rows, ["email", "local_canon", "domain_canon", "_is_new"]
+    )
+    email_expr = F.concat(F.col("local_canon"), F.lit("@"), F.col("domain_canon"))
+    stale = dim.withColumn("email_bands", minhash_bands_udf(email_expr))  # 8 bands
+    fresh = with_email_bands(dim)                                        # 4 bands
+    kw = dict(hot_threshold=1 << 40, use_lsh=False, use_cross_domain=True)
+
+    def pairset(d):
+        return {
+            (r["email_a"], r["email_b"])
+            for r in incremental_candidate_pairs(d, **kw).collect()
+        }
+
+    assert pairset(stale) == pairset(fresh)

@@ -95,3 +95,74 @@ def test_malformed_inputs_raise():
     )
     with pytest.raises(PngError):
         decode_png(png)
+
+
+def test_decompression_bomb_is_bounded():
+    # tiny IDAT that inflates far beyond the IHDR-implied size: the decoder
+    # must cap the inflate at expected+1 bytes and raise, not materialize it
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)  # expects 6 bytes
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    bomb = zlib.compress(b"\x00" * 10_000_000)  # ~10 MB of zeros, ~10 KB deflated
+    png = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", bomb)
+        + chunk(b"IEND", b"")
+    )
+    with pytest.raises(PngError):
+        decode_png(png)
+
+
+def test_malformed_streams_raise_pngerror_not_stdlib_errors():
+    """Every failure mode must surface as PngError (the multimodal feature
+    extractor additionally catches broadly, but the codec's own contract is
+    typed errors): zero IDAT, garbage deflate, truncated CRC, bad IHDR
+    length, zero dimensions."""
+
+    def chunk(typ, data):
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    sig = b"\x89PNG\r\n\x1a\n"
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 8, 0, 0, 0, 0)
+    cases = [
+        sig + chunk(b"IHDR", ihdr) + chunk(b"IEND", b""),              # no IDAT
+        sig + chunk(b"IHDR", ihdr) + chunk(b"IDAT", b"nota-deflate")   # bad zlib
+        + chunk(b"IEND", b""),
+        sig + chunk(b"IHDR", ihdr)[:20],                               # cut in CRC
+        sig + chunk(b"IHDR", ihdr[:7]) + chunk(b"IEND", b""),          # short IHDR
+        sig + chunk(b"IHDR", struct.pack(">IIBBBBB", 0, 2, 8, 0, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(b"")) + chunk(b"IEND", b""),    # w = 0
+    ]
+    for png in cases:
+        with pytest.raises(PngError):
+            decode_png(png)
+
+
+def test_feature_extractor_survives_malformed_payload(spark):
+    from pyspark.sql import Row
+
+    from email_address_parser_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    media = spark.createDataFrame(
+        [
+            Row(doc_id=1, payload=bytearray(b"\x89PNG\r\n\x1a\ngarbage"),
+                media=Row(width=8, height=8, mime="image/png")),
+        ]
+    )
+    row = extract_image_features(media).collect()[0]
+    assert row.decode_ok is False and row.width is None

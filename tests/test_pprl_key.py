@@ -73,3 +73,22 @@ def test_dice_pairs_keep_missing_mask_as_zero(spark):
     both = rows[("ghost@y.com", "phantom@z.com")]
     # both endpoints missing: the 0/0 Dice is guarded to 0, not NULL/NaN
     assert both["n_a"] == 0 and both["dice"] == 0.0
+
+
+def test_composite_threads_bits_through_masks(spark):
+    """Round-5 review: clk_composite_pairs must pass `bits` to clk_masks —
+    with bits=128 the packed dim has m0..m1 only, and the old unthreaded
+    call selected m0..m3 and raised. Smoke the non-default width end to
+    end and sanity-check the score range."""
+    from email_address_parser_spark.operators.pprl import clk_composite_pairs
+
+    rec = spark.createDataFrame(
+        [("a@x.com", "alice", "x.com"), ("b@y.com", "alicia", "y.com")],
+        ["email", "dotless", "domain_canon"],
+    )
+    pairs = spark.createDataFrame([("a@x.com", "b@y.com")], ["email_a", "email_b"])
+    row = clk_composite_pairs(pairs, rec, bits=128).collect()[0]
+    assert 0.0 < row["dice_local"] < 1.0          # alice/alicia share bigrams
+    assert row["clk_score"] == round(
+        0.7 * row["dice_local"] + 0.3 * row["dice_domain"], 6
+    )
