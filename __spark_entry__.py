@@ -415,16 +415,16 @@ def _er_threshold_sweep(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("pairs"),
         F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias("true_pairs"),
     )
-    # ≤101 score buckets reach these windows (floor(score*100) ∈ 0..100):
-    # partitionBy(lit(0)) is identical to an unpartitioned window on this
-    # frame (one shared constant key) but silences the WindowExec
-    # "No Partition Defined" warning on an intentionally tiny dim
-    w_desc = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # INTENTIONAL unpartitioned windows: only the ≤101-row bucket dim
+    # (floor(score*100) ∈ 0..100, collapsed map-side before the exchange —
+    # plan-pinned) ever reaches them, so the WindowExec single-partition
+    # warning they emit is a non-smell here; a constant partitionBy(lit(0))
+    # does NOT silence it (Catalyst folds the literal out of the spec,
+    # measured round 5)
+    w_desc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+    w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = buckets.select(
@@ -1421,16 +1421,16 @@ def _er_pprl_sweep(spark: SparkSession, sf: str) -> DataFrame:
         F.count(F.lit(1)).alias("pairs"),
         F.sum((F.col("mk_a") == F.col("mk_b")).cast("long")).alias("true_pairs"),
     )
-    # ≤101 score buckets reach these windows (floor(score*100) ∈ 0..100):
-    # partitionBy(lit(0)) is identical to an unpartitioned window on this
-    # frame (one shared constant key) but silences the WindowExec
-    # "No Partition Defined" warning on an intentionally tiny dim
-    w_desc = (
-        Window.partitionBy(F.lit(0))
-        .orderBy(F.col("bucket").desc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # INTENTIONAL unpartitioned windows: only the ≤101-row bucket dim
+    # (floor(score*100) ∈ 0..100, collapsed map-side before the exchange —
+    # plan-pinned) ever reaches them, so the WindowExec single-partition
+    # warning they emit is a non-smell here; a constant partitionBy(lit(0))
+    # does NOT silence it (Catalyst folds the literal out of the spec,
+    # measured round 5)
+    w_desc = Window.orderBy(F.col("bucket").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
     )
-    w_all = Window.partitionBy(F.lit(0)).rowsBetween(
+    w_all = Window.partitionBy().rowsBetween(
         Window.unboundedPreceding, Window.unboundedFollowing
     )
     cum = buckets.select(

@@ -211,14 +211,32 @@ def weighted_sample(
         .orderBy(F.desc("priority"), F.asc(key_col))
         .limit(n)
     )
-    # rank the n survivors: the frame is already limit(n)-bounded, so this
-    # window touches ≤ n rows. partitionBy(lit(0)) is semantically identical
-    # to an unpartitioned window here (every row shares the constant key)
-    # but gives WindowExec a partition spec, so the driver log stays free of
-    # the "No Partition Defined ... single partition" warning that reads as
-    # a scale smell on an intentionally tiny frame.
-    rw = Window.partitionBy(F.lit(0)).orderBy(F.desc("priority"), F.asc(key_col))
-    return ranked.withColumn("rank", F.row_number().over(rw).cast("int"))
+    # rank the n survivors WITHOUT a window: an unpartitioned rank window
+    # here would re-sort what TakeOrderedAndProject already ordered and
+    # emit the WindowExec single-partition warning on an intentionally
+    # tiny frame (and partitionBy(lit(0)) doesn't help — Catalyst
+    # constant-folds the literal out of the partition spec, measured).
+    # Instead: one single-group collect of the ≤ n rows, sort_array on a
+    # (-priority, key) struct (= priority DESC, key ASC), posexplode ⇒
+    # rank = position + 1. Same values, no Window node at all.
+    arr = ranked.agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    (-F.col("priority")).alias("_np"),
+                    F.col(key_col).alias("_k"),
+                    F.col("weight").alias("_w"),
+                    F.col("priority").alias("_p"),
+                )
+            )
+        ).alias("_a")
+    )
+    return arr.select(F.posexplode("_a").alias("_pos", "_s")).select(
+        F.col(f"_s._k").alias(key_col),
+        F.col("_s._w").alias("weight"),
+        F.col("_s._p").alias("priority"),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
 
 
 def stratified_sample(
